@@ -1,0 +1,23 @@
+"""Root conftest: force tests onto a virtual 8-device CPU mesh.
+
+The container's sitecustomize registers the TPU backend and imports jax at
+interpreter startup, so env vars alone are too late — we override via
+jax.config before any backend is initialized. Benchmarks (bench.py) are run
+directly and explicitly select the TPU.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

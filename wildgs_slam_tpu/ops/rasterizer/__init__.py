@@ -1,0 +1,157 @@
+"""TPU-native differentiable Gaussian rasterizer.
+
+Replaces the CUDA `diff-gaussian-rasterization-w-pose` extension used by the
+reference (API at
+/root/reference/thirdparty/gaussian_splatting/gaussian_renderer/__init__.py:58-141)
+with a three-phase XLA design:
+
+  1. projection (projection.py)  — batched 3D->2D transform, EWA covariance,
+     SH colors; camera-pose gradients via SE3 retraction + autodiff.
+  2. binning (binning.py)        — global depth sort + per-tile fixed-capacity
+     index tables (static shapes for XLA).
+  3. compositing (composite.py)  — all-tiles-at-once front-to-back blending,
+     chunked scan with rematerialization.
+
+Outputs match the reference rasterizer: color, radii, depth, opacity(alpha),
+n_touched, plus screen-space mean gradients for densification via the
+`mean2d_offset` zero-input (the JAX analogue of means2D.retain_grad()).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import binning, composite, projection
+from .binning import TILE, bin_gaussians
+from .composite import RenderOutput, untile
+from .projection import ProjectedGaussians, project_gaussians
+
+
+def render(
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    opacities: jax.Array,
+    sh_coeffs: jax.Array,
+    w2c: jax.Array,
+    intrinsics: jax.Array,
+    image_size: tuple[int, int],
+    sh_degree: int = 0,
+    pose_delta: jax.Array | None = None,
+    bg: jax.Array | None = None,
+    capacity: int = 1024,
+    chunk: int = 64,
+    scale_modifier: float = 1.0,
+    mean2d_offset: jax.Array | None = None,
+    alive: jax.Array | None = None,
+) -> RenderOutput:
+    """Render Gaussians into a pinhole camera. All inputs post-activation.
+
+    `alive` masks dead capacity slots of a fixed-size GaussianModel.
+    Differentiable w.r.t. every float input including `pose_delta` (camera
+    pose twist, evaluate at zeros) and `mean2d_offset` (screen-space means,
+    evaluate at zeros — gradient drives densification).
+    """
+    if bg is None:
+        bg = jnp.zeros(3, dtype=means3d.dtype)
+
+    proj = project_gaussians(
+        means3d, scales, rotations, opacities, sh_coeffs, w2c, intrinsics,
+        image_size, sh_degree=sh_degree, pose_delta=pose_delta,
+        scale_modifier=scale_modifier,
+    )
+    valid = proj.valid if alive is None else proj.valid & alive
+    mean2d = proj.mean2d if mean2d_offset is None else proj.mean2d + mean2d_offset
+
+    bins = bin_gaussians(
+        jax.lax.stop_gradient(mean2d),
+        proj.radius,
+        jax.lax.stop_gradient(proj.depth),
+        valid,
+        image_size,
+        capacity=capacity,
+    )
+
+    tiles_color, tiles_depth, tiles_alpha, n_touched, _ = composite.composite(
+        bins, mean2d, proj.conic, proj.color, proj.opacity, proj.depth,
+        image_size, bg, chunk=chunk,
+    )
+
+    return RenderOutput(
+        color=untile(tiles_color, image_size),
+        depth=untile(tiles_depth, image_size),
+        alpha=untile(tiles_alpha, image_size),
+        n_touched=n_touched,
+        radii=jnp.where(valid, proj.radius, 0),
+        overflow=bins.overflow,
+    )
+
+
+def render_reference(
+    means3d, scales, rotations, opacities, sh_coeffs, w2c, intrinsics,
+    image_size, sh_degree=0, pose_delta=None, bg=None, alive=None,
+):
+    """Slow per-pixel oracle: every Gaussian against every pixel, no tiling.
+
+    Used by the test suite to validate the tiled path (and later the Pallas
+    kernel) bit-for-bit on tiny scenes. O(H·W·N) memory — tiny scenes only.
+    """
+    H, W = image_size
+    if bg is None:
+        bg = jnp.zeros(3, dtype=means3d.dtype)
+
+    proj = project_gaussians(
+        means3d, scales, rotations, opacities, sh_coeffs, w2c, intrinsics,
+        image_size, sh_degree=sh_degree, pose_delta=pose_delta,
+    )
+    valid = proj.valid if alive is None else proj.valid & alive
+
+    order = jnp.argsort(jnp.where(valid, proj.depth, jnp.inf))
+    m = proj.mean2d[order]
+    c = proj.conic[order]
+    col = proj.color[order]
+    op = jnp.where(valid, proj.opacity, 0.0)[order]
+    dep = proj.depth[order]
+
+    y, x = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                        jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    px = x.reshape(-1)[:, None]  # (HW, 1)
+    py = y.reshape(-1)[:, None]
+
+    dx = m[None, :, 0] - px
+    dy = m[None, :, 1] - py
+    power = (-0.5 * (c[None, :, 0] * dx * dx + c[None, :, 2] * dy * dy)
+             - c[None, :, 1] * dx * dy)
+    alpha = jnp.minimum(0.99, op[None, :] * jnp.exp(power))
+    alpha = jnp.where((power > 0) | (alpha < 1.0 / 255.0), 0.0, alpha)
+
+    t_incl = jnp.cumprod(1.0 - alpha, axis=1)
+    t_before = jnp.concatenate([jnp.ones_like(t_incl[:, :1]), t_incl[:, :-1]],
+                               axis=1)
+    contrib = t_incl >= 1e-4
+    w = alpha * t_before * contrib
+
+    rgb = w @ col
+    depth_img = jnp.sum(w * dep[None, :], axis=1)
+    alpha_img = jnp.sum(w, axis=1)
+    cand = jnp.where(t_incl >= 1e-4, t_incl, jnp.inf)
+    T_final = jnp.minimum(jnp.min(cand, axis=1), 1.0)
+    T_final = jnp.where(jnp.isinf(T_final), t_incl[:, -1], T_final)
+    rgb = rgb + T_final[:, None] * bg[None, :]
+
+    touched_sorted = jnp.sum(w > 0, axis=0).astype(jnp.int32)
+    n_touched = jnp.zeros(means3d.shape[0], jnp.int32).at[order].set(
+        touched_sorted
+    )
+
+    return RenderOutput(
+        color=rgb.reshape(H, W, 3),
+        depth=depth_img.reshape(H, W),
+        alpha=alpha_img.reshape(H, W),
+        n_touched=n_touched,
+        radii=jnp.where(valid, proj.radius, 0),
+        overflow=jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,93 @@
+"""Tile binning: depth sort + per-tile fixed-capacity index lists (pure JAX).
+
+TPU-native replacement for the CUDA rasterizer's duplicate-keys +
+radix-sort-by-(tile|depth) stage. On TPU we keep everything static-shape:
+
+  1. one global argsort by camera depth (invalid Gaussians pushed to +inf),
+  2. a (num_tiles, N) tile-intersection mask from screen bounding boxes,
+  3. an order-preserving masked compaction (cumsum + scatter) into a dense
+     (num_tiles, CAPACITY) table of Gaussian indices, front-to-back.
+
+The compaction replaces the variable-length per-tile lists of the CUDA design
+with fixed capacity; overflow beyond CAPACITY is dropped (reported via
+`overflow` so callers can log / re-run with a bigger budget).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+TILE = 16  # tile side in pixels; 16x16 = 256 px = 2 TPU lanes rows
+
+
+class TileBins(NamedTuple):
+    ids: jax.Array        # (num_tiles, capacity) int32 Gaussian ids, -1 pad
+    counts: jax.Array     # (num_tiles,) int32 number of live entries
+    overflow: jax.Array   # () int32 total dropped entries
+
+
+def num_tiles(image_size: tuple[int, int]) -> tuple[int, int]:
+    H, W = image_size
+    return -(-H // TILE), -(-W // TILE)
+
+
+def bin_gaussians(
+    mean2d: jax.Array,
+    radius: jax.Array,
+    depth: jax.Array,
+    valid: jax.Array,
+    image_size: tuple[int, int],
+    capacity: int = 1024,
+) -> TileBins:
+    """Build per-tile depth-ordered Gaussian id lists.
+
+    Args: see ProjectedGaussians; all (N,)-leading.
+    """
+    H, W = image_size
+    th, tw = num_tiles(image_size)
+    n_tiles = th * tw
+    N = mean2d.shape[0]
+
+    # 1. global front-to-back order
+    sort_key = jnp.where(valid, depth, jnp.inf)
+    order = jnp.argsort(sort_key)  # (N,)
+    smean = mean2d[order]
+    srad = radius[order].astype(jnp.float32)
+    svalid = valid[order]
+
+    # 2. tile intersection mask (tiles, N) from bounding boxes
+    #    gaussian bbox in tile units
+    x0 = jnp.floor((smean[:, 0] - srad) / TILE)
+    x1 = jnp.floor((smean[:, 0] + srad) / TILE)
+    y0 = jnp.floor((smean[:, 1] - srad) / TILE)
+    y1 = jnp.floor((smean[:, 1] + srad) / TILE)
+
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    ty = (tile_ids // tw).astype(jnp.float32)  # (T,)
+    tx = (tile_ids % tw).astype(jnp.float32)
+
+    mask = (
+        svalid[None, :]
+        & (x0[None, :] <= tx[:, None])
+        & (x1[None, :] >= tx[:, None])
+        & (y0[None, :] <= ty[:, None])
+        & (y1[None, :] >= ty[:, None])
+    )  # (T, N)
+
+    # 3. order-preserving compaction into fixed-capacity lists
+    pos = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1  # (T, N)
+    counts = jnp.minimum(pos[:, -1] + 1, capacity)
+    overflow = jnp.sum(jnp.maximum(pos[:, -1] + 1 - capacity, 0))
+
+    write_pos = jnp.where(mask & (pos < capacity), pos, capacity)  # cap slot = trash
+    src_ids = jnp.broadcast_to(order[None, :].astype(jnp.int32), (n_tiles, N))
+
+    ids = jnp.full((n_tiles, capacity + 1), -1, dtype=jnp.int32)
+    ids = jax.vmap(lambda tbl, p, s: tbl.at[p].set(s, mode="drop"))(
+        ids, write_pos, src_ids
+    )[:, :capacity]
+
+    return TileBins(ids=ids, counts=counts, overflow=overflow)
