@@ -1,0 +1,200 @@
+"""Correlation volumes + lookup (replaces droid_backends CUDA kernels).
+
+Two implementations, matching the reference's two memory regimes:
+
+  - `corr_pyramid` + `corr_lookup`: precomputed all-pairs 4-level correlation
+    pyramid (corr.py:39-90) with the bilinear 7x7-neighborhood gather of
+    correlation_kernels.cu:31-135. The gather is expressed as one big
+    take-along-axis per level — XLA lowers it to an efficient TPU gather; the
+    backward (scatter into the volume) comes from autodiff of the same
+    gather, which is exactly what corr_index_backward hand-codes.
+
+  - `alt_corr`: on-the-fly patch correlation (altcorr_kernel.cu semantics,
+    corr.py:93-159) for global BA where the O(E·(HW)^2) volumes don't fit:
+    dot(fmap1[pixel], fmap2[neighborhood(coords)]) with bilinear weights.
+
+Out-of-bounds samples contribute zero, matching `within_bounds` in the CUDA
+kernels. Lookup output channel order is (level, dx, dy) — i indexes the x
+offset, j the y offset, as in corr_index_forward_kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def avg_pool2(x: jax.Array) -> jax.Array:
+    """2x2 average pooling on the last two dims."""
+    *lead, H, W = x.shape
+    x = x.reshape(*lead, H // 2, 2, W // 2, 2)
+    return x.mean(axis=(-3, -1))
+
+
+def compute_corr(fmap1: jax.Array, fmap2: jax.Array) -> jax.Array:
+    """All-pairs correlation (corr.py:81-90).
+
+    fmap1, fmap2: (E, H, W, C) -> (E, H*W, H, W) float32, scaled by 1/16.
+    """
+    E, H, W, C = fmap1.shape
+    a = fmap1.reshape(E, H * W, C) / 4.0
+    b = fmap2.reshape(E, H * W, C) / 4.0
+    corr = jnp.einsum("enc,emc->enm", a, b,
+                      preferred_element_type=jnp.float32)
+    return corr.reshape(E, H * W, H, W)
+
+
+def corr_pyramid(fmap1: jax.Array, fmap2: jax.Array,
+                 num_levels: int = 4) -> list[jax.Array]:
+    """Build the 4-level pyramid: level i is (E, H*W, H/2^i, W/2^i)."""
+    corr = compute_corr(fmap1, fmap2)
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        corr = avg_pool2(corr)
+        pyramid.append(corr)
+    return pyramid
+
+
+def _bilinear_window_gather(volume: jax.Array, coords: jax.Array,
+                            radius: int) -> jax.Array:
+    """Sample a (2r+1)^2 window around `coords` from per-pixel 2D volumes.
+
+    volume: (E, P, h2, w2) — one little correlation image per source pixel.
+    coords: (E, P, 2) float (x, y) target-resolution centers.
+    Returns (E, P, (2r+1)^2) with channel order a(x-offset)-major, matching
+    corr_index_forward_kernel.
+    """
+    E, P, h2, w2 = volume.shape
+    r = radius
+    rd = 2 * r + 1
+
+    x0 = coords[..., 0]
+    y0 = coords[..., 1]
+    fx = jnp.floor(x0)
+    fy = jnp.floor(y0)
+    dx = (x0 - fx)[..., None]  # (E, P, 1)
+    dy = (y0 - fy)[..., None]
+
+    # integer grid of (rd+1)^2 sample points: i -> x, j -> y
+    offs = jnp.arange(rd + 1, dtype=jnp.float32) - r
+    gx = (fx[..., None] + offs).astype(jnp.int32)  # (E, P, rd+1)
+    gy = (fy[..., None] + offs).astype(jnp.int32)
+
+    inb_x = (gx >= 0) & (gx < w2)
+    inb_y = (gy >= 0) & (gy < h2)
+    gxc = jnp.clip(gx, 0, w2 - 1)
+    gyc = jnp.clip(gy, 0, h2 - 1)
+
+    # gather all (rd+1)^2 integer samples: flat index per (i, j)
+    flat_idx = (gyc[:, :, None, :] * w2 + gxc[:, :, :, None])  # (E,P,rd+1,rd+1)
+    vflat = volume.reshape(E, P, h2 * w2)
+    vals = jnp.take_along_axis(
+        vflat, flat_idx.reshape(E, P, -1), axis=-1
+    ).reshape(E, P, rd + 1, rd + 1)
+    vals = vals * (inb_x[:, :, :, None] & inb_y[:, :, None, :])
+
+    # bilinear combine neighbors: out[a, b] =
+    #   (1-dx)(1-dy) v[a, b] + dx(1-dy) v[a+1, b] + (1-dx)dy v[a, b+1]
+    #   + dx dy v[a+1, b+1]
+    w00 = (1 - dx) * (1 - dy)
+    w10 = dx * (1 - dy)
+    w01 = (1 - dx) * dy
+    w11 = dx * dy
+    out = (
+        vals[:, :, :rd, :rd] * w00[..., None]
+        + vals[:, :, 1:, :rd] * w10[..., None]
+        + vals[:, :, :rd, 1:] * w01[..., None]
+        + vals[:, :, 1:, 1:] * w11[..., None]
+    )  # (E, P, rd, rd) with dims (x-offset, y-offset)
+    return out.reshape(E, P, rd * rd)
+
+
+def corr_lookup(pyramid: list[jax.Array], coords: jax.Array,
+                radius: int = 3) -> jax.Array:
+    """Multi-level windowed lookup (CorrBlock.__call__, corr.py:57-67).
+
+    coords: (E, H, W, 2) float (x, y) at level-0 resolution.
+    Returns (E, H, W, L*(2r+1)^2) feature channels (level-major).
+    """
+    E, H, W, _ = coords.shape
+    c = coords.reshape(E, H * W, 2)
+    outs = []
+    for i, vol in enumerate(pyramid):
+        outs.append(_bilinear_window_gather(vol, c / (2 ** i), radius))
+    out = jnp.concatenate(outs, axis=-1)
+    return out.reshape(E, H, W, -1)
+
+
+# ---------------------------------------------------------------------------
+# on-the-fly patch correlation (AltCorrBlock semantics)
+# ---------------------------------------------------------------------------
+
+def fmap_pyramid(fmaps: jax.Array, num_levels: int = 4) -> list[jax.Array]:
+    """fmaps (F, H, W, C) -> levels [(F, H/2^i, W/2^i, C)], pre-scaled by 1/4
+    (corr.py:117)."""
+    x = fmaps / 4.0
+    pyr = [x]
+    for _ in range(num_levels - 1):
+        F, H, W, C = x.shape
+        x = x.reshape(F, H // 2, 2, W // 2, 2, C).mean(axis=(2, 4))
+        pyr.append(x)
+    return pyr
+
+
+def alt_corr(pyramid: list[jax.Array], coords: jax.Array, ii: jax.Array,
+             jj: jax.Array, radius: int = 3) -> jax.Array:
+    """Correlation features without materialized volumes.
+
+    For each edge e and pixel p: dot(fmap1_lvl0[ii[e], p],
+    bilin(fmap_lvl[jj[e]], coords[e, p]/2^lvl + offset)) over the
+    (2r+1)^2 window. coords (E, H, W, 2). Returns (E, H, W, L*(2r+1)^2).
+    """
+    E, H, W, _ = coords.shape
+    rd = 2 * radius + 1
+    f1 = pyramid[0][ii]  # (E, H, W, C)
+    C = f1.shape[-1]
+    f1 = f1.reshape(E, H * W, C)
+
+    outs = []
+    for lvl, fm in enumerate(pyramid):
+        _, h2, w2, _ = fm.shape
+        f2 = fm[jj].reshape(E, h2 * w2, C)  # (E, P2, C)
+        c = coords.reshape(E, H * W, 2) / (2 ** lvl)
+
+        x0, y0 = c[..., 0], c[..., 1]
+        fxg, fyg = jnp.floor(x0), jnp.floor(y0)
+        dx = (x0 - fxg)[..., None]
+        dy = (y0 - fyg)[..., None]
+
+        offs = jnp.arange(rd + 1, dtype=jnp.float32) - radius
+        gx = (fxg[..., None] + offs).astype(jnp.int32)  # (E, P, rd+1)
+        gy = (fyg[..., None] + offs).astype(jnp.int32)
+        inb_x = (gx >= 0) & (gx < w2)
+        inb_y = (gy >= 0) & (gy < h2)
+        gxc = jnp.clip(gx, 0, w2 - 1)
+        gyc = jnp.clip(gy, 0, h2 - 1)
+
+        # dot products at integer grid points: (E, P, rd+1, rd+1)
+        flat = gyc[:, :, None, :] * w2 + gxc[:, :, :, None]
+        flat = flat.reshape(E, -1)  # (E, P*(rd+1)^2)
+        g = jnp.take_along_axis(f2, flat[..., None], axis=1)
+        g = g.reshape(E, H * W, rd + 1, rd + 1, C)
+        dots = jnp.einsum("epc,epijc->epij", f1, g,
+                          preferred_element_type=jnp.float32)
+        dots = dots * (inb_x[:, :, :, None] & inb_y[:, :, None, :])
+
+        w00 = (1 - dx) * (1 - dy)
+        w10 = dx * (1 - dy)
+        w01 = (1 - dx) * dy
+        w11 = dx * dy
+        out = (
+            dots[:, :, :rd, :rd] * w00[..., None]
+            + dots[:, :, 1:, :rd] * w10[..., None]
+            + dots[:, :, :rd, 1:] * w01[..., None]
+            + dots[:, :, 1:, 1:] * w11[..., None]
+        )
+        outs.append(out.reshape(E, H * W, rd * rd))
+
+    return jnp.concatenate(outs, axis=-1).reshape(E, H, W, -1)

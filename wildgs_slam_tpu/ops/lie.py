@@ -255,6 +255,7 @@ def se3_act4(g: jax.Array, p: jax.Array) -> jax.Array:
     """
     xyz, w = p[..., :3], p[..., 3:4]
     out = quat_act(g[..., 3:7], xyz) + w * g[..., :3]
+    w = jnp.broadcast_to(w, out.shape[:-1] + (1,))
     return jnp.concatenate([out, w], axis=-1)
 
 
@@ -346,6 +347,7 @@ def sim3_act(g: jax.Array, p: jax.Array) -> jax.Array:
 def sim3_act4(g: jax.Array, p: jax.Array) -> jax.Array:
     xyz, w = p[..., :3], p[..., 3:4]
     out = g[..., 7:8] * quat_act(g[..., 3:7], xyz) + w * g[..., :3]
+    w = jnp.broadcast_to(w, out.shape[:-1] + (1,))
     return jnp.concatenate([out, w], axis=-1)
 
 
