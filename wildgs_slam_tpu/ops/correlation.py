@@ -27,9 +27,12 @@ import jax.numpy as jnp
 
 
 def avg_pool2(x: jax.Array) -> jax.Array:
-    """2x2 average pooling on the last two dims."""
+    """2x2/stride-2 average pooling on the last two dims (odd trailing
+    rows/cols dropped, matching torch F.avg_pool2d)."""
     *lead, H, W = x.shape
-    x = x.reshape(*lead, H // 2, 2, W // 2, 2)
+    H2, W2 = H // 2, W // 2
+    x = x[..., : H2 * 2, : W2 * 2]
+    x = x.reshape(*lead, H2, 2, W2, 2)
     return x.mean(axis=(-3, -1))
 
 
@@ -138,7 +141,9 @@ def fmap_pyramid(fmaps: jax.Array, num_levels: int = 4) -> list[jax.Array]:
     pyr = [x]
     for _ in range(num_levels - 1):
         F, H, W, C = x.shape
-        x = x.reshape(F, H // 2, 2, W // 2, 2, C).mean(axis=(2, 4))
+        H2, W2 = H // 2, W // 2
+        x = x[:, : H2 * 2, : W2 * 2]
+        x = x.reshape(F, H2, 2, W2, 2, C).mean(axis=(2, 4))
         pyr.append(x)
     return pyr
 

@@ -1,0 +1,582 @@
+"""Factor graph: host-managed edge topology + jitted GRU/DBA update core.
+
+Re-design of the reference's src/factor_graph.py for a single-controller JAX
+system. The reference mutates dynamic torch tensors per edge operation; here:
+
+  - Edge TOPOLOGY (ii, jj, age, inactive/bad lists, NMS edge proposal) lives
+    on the host as numpy — it is tiny, per-keyframe work, and inherently
+    sequential (the reference also runs proposal in Python,
+    factor_graph.py:325-465).
+  - Edge STATE (GRU hidden, target, weight, correlation pyramids) lives on
+    device, exactly sized, compacted on removal by gather.
+  - The HOT LOOP (reproject -> corr lookup -> GRU update -> DBA -> upsample;
+    factor_graph.py:218-263) is ONE jitted function over fixed-capacity
+    padded arrays, bucketed to limit recompiles.
+
+Frame indices inside the jitted core are absolute; the GraphAgg segment
+aggregation and the BA pose window use relative slots.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import droid_net
+from ..ops import correlation, dba, projective
+from . import keyframe_store as kstore
+
+EP_DAMP = 1e-7
+
+
+def _bucket(n: int, buckets=(8, 16, 32, 48, 64, 96, 128, 192, 256, 384, 512)):
+    for b in buckets:
+        if n <= b:
+            return b
+    return int(math.ceil(n / 128) * 128)
+
+
+class UpdateOut(NamedTuple):
+    net: jax.Array
+    target: jax.Array
+    weight: jax.Array
+    damping: jax.Array
+    poses: jax.Array
+    disps: jax.Array
+    disps_up: jax.Array
+
+
+@partial(jax.jit, static_argnames=("iters", "pmax", "motion_only",
+                                   "metric_depth_reg", "uncertainty_aware"))
+def _update_core(params, poses, disps, disps_up, intrinsics, uncert_inv,
+                 mono_disps, mono_mask_small,
+                 net, inp, target, weight, corr_l0, corr_l1, corr_l2, corr_l3,
+                 ii, jj, edge_valid, frame_base,
+                 inac_target, inac_weight, inac_ii, inac_jj, inac_valid,
+                 damping, groups, t0, t1, iters: int, pmax: int,
+                 motion_only: bool, metric_depth_reg: bool,
+                 uncertainty_aware: bool):
+    """One FactorGraph.update (factor_graph.py:218-263): GRU step + BA.
+
+    All edge arrays padded to capacity; `frame_base` is the minimum frame of
+    the active window (for GraphAgg segment slots)."""
+    F, h, w = disps.shape
+    E = ii.shape[0]
+
+    coords0 = projective.coords_grid(h, w)
+    coords1, _ = projective.projective_transform(
+        poses, disps, intrinsics, ii, jj)
+    motn = jnp.concatenate([coords1 - coords0, target - coords1], axis=-1)
+    motn = jnp.clip(motn, -64.0, 64.0)
+
+    corr = correlation.corr_lookup(
+        [corr_l0, corr_l1, corr_l2, corr_l3], coords1)
+
+    ii_rel = jnp.clip(ii - frame_base, 0, pmax - 1)
+    net2, delta, weight2, eta_new, upmask = droid_net.UpdateModule().apply(
+        {"params": params["update"]}, net, inp, corr.astype(net.dtype),
+        motn.astype(net.dtype), ii_rel, pmax)
+
+    net2 = jnp.where(edge_valid[:, None, None, None], net2, net)
+    target2 = coords1 + delta.astype(jnp.float32)
+    target2 = jnp.where(edge_valid[:, None, None, None], target2, target)
+    weight2 = jnp.where(edge_valid[:, None, None, None],
+                        weight2.astype(jnp.float32), weight)
+
+    # damping[unique(ii)] = eta (factor_graph.py:243): scatter per window slot
+    has_edge_rel = jnp.zeros((pmax,), bool).at[
+        jnp.where(edge_valid, ii_rel, pmax)].set(True, mode="drop")
+    frames_abs = frame_base + jnp.arange(pmax)
+    damping = damping.at[jnp.clip(frames_abs, 0, F - 1)].set(
+        jnp.where(has_edge_rel[:, None, None],
+                  eta_new.astype(jnp.float32),
+                  damping[jnp.clip(frames_abs, 0, F - 1)]))
+
+    # include inactive edges in the BA (use_inactive=True path)
+    ii_all = jnp.concatenate([ii, inac_ii])
+    jj_all = jnp.concatenate([jj, inac_jj])
+    valid_all = jnp.concatenate([edge_valid, inac_valid])
+    target_all = jnp.concatenate([target2, inac_target])
+    weight_all = jnp.concatenate([weight2, inac_weight])
+
+    eta = 0.2 * damping + EP_DAMP  # (F, h, w)
+
+    if uncertainty_aware:
+        weight_ba = weight_all * uncert_inv[jnp.clip(ii_all, 0, F - 1)][..., None]
+    else:
+        weight_ba = weight_all
+
+    sensor = mono_disps if metric_depth_reg else None
+    sensor_valid = mono_mask_small if metric_depth_reg else None
+
+    poses2, disps2 = dba.ba(
+        poses, disps, intrinsics, target_all, weight_ba, eta, ii_all, jj_all,
+        valid_all, groups, t0, t1, iters=iters,
+        cfg=dba.BAConfig(lm=1e-4, ep=0.1),
+        sensor_disps=sensor, sensor_valid=sensor_valid,
+        motion_only=motion_only, pmax=pmax)
+
+    # upsample disps for window frames with edges (video.upsample)
+    frames_up = jnp.clip(frames_abs, 0, F - 1)
+    up = droid_net.upsample_disp(disps2[frames_up],
+                                 upmask.astype(jnp.float32))
+    disps_up = disps_up.at[frames_up].set(
+        jnp.where(has_edge_rel[:, None, None], up, disps_up[frames_up]))
+
+    return UpdateOut(net2, target2, weight2, damping, poses2, disps2,
+                     disps_up)
+
+
+@partial(jax.jit, static_argnames=("pmax",))
+def _lowmem_gru_core(params, poses, disps, intrinsics, p0, p1, p2, p3,
+                     net, inp, target, ii, jj, edge_valid, frame_base,
+                     pmax: int):
+    """GRU step for one chunk of edges using on-the-fly alt_corr."""
+    h, w = disps.shape[-2:]
+    coords0 = projective.coords_grid(h, w)
+    coords1, _ = projective.projective_transform(poses, disps, intrinsics,
+                                                 ii, jj)
+    motn = jnp.clip(jnp.concatenate(
+        [coords1 - coords0, target - coords1], axis=-1), -64.0, 64.0)
+    corr = correlation.alt_corr([p0, p1, p2, p3], coords1, ii, jj)
+    ii_rel = jnp.clip(ii - frame_base, 0, pmax - 1)
+    net2, delta, weight2, eta_new, _ = droid_net.UpdateModule().apply(
+        {"params": params["update"]}, net, inp, corr.astype(net.dtype),
+        motn.astype(net.dtype), ii_rel, pmax)
+    net2 = jnp.where(edge_valid[:, None, None, None], net2, net)
+    target2 = jnp.where(edge_valid[:, None, None, None],
+                        coords1 + delta.astype(jnp.float32), target)
+    weight2 = weight2.astype(jnp.float32) * edge_valid[:, None, None, None]
+    has_edge = jnp.zeros((pmax,), bool).at[
+        jnp.where(edge_valid, ii_rel, pmax)].set(True, mode="drop")
+    return net2, target2, weight2, eta_new, has_edge
+
+
+class FactorGraph:
+    """Host orchestrator owning edge topology + device edge state."""
+
+    def __init__(self, state, params, corr_impl="volume", max_factors=-1,
+                 pmax=96, inac_cap=96, group_degree=16):
+        self.state = state            # SlamState: .store, .counter
+        self.params = params
+        self.corr_impl = corr_impl
+        self.max_factors = max_factors
+        self.pmax = pmax
+        self.inac_cap = inac_cap
+        self.group_degree = group_degree
+
+        store = state.store
+        self.h, self.w = store.disps.shape[-2:]
+
+        self.ii = np.zeros(0, np.int64)
+        self.jj = np.zeros(0, np.int64)
+        self.age = np.zeros(0, np.int64)
+        self.ii_bad = np.zeros(0, np.int64)
+        self.jj_bad = np.zeros(0, np.int64)
+        self.ii_inac = np.zeros(0, np.int64)
+        self.jj_inac = np.zeros(0, np.int64)
+
+        E0 = 0
+        self.net = jnp.zeros((E0, self.h, self.w, 128))
+        self.inp = jnp.zeros((E0, self.h, self.w, 128))
+        self.target = jnp.zeros((E0, self.h, self.w, 2))
+        self.weight = jnp.zeros((E0, self.h, self.w, 2))
+        self.corr_pyr = None  # list of 4 arrays (E, hw, h2, w2)
+        self.target_inac = jnp.zeros((0, self.h, self.w, 2))
+        self.weight_inac = jnp.zeros((0, self.h, self.w, 2))
+
+        B = store.poses.shape[0]
+        self.damping = 1e-6 * jnp.ones((B, self.h, self.w))
+
+    # ------------------------------------------------------------------
+    # edge management (host)
+    # ------------------------------------------------------------------
+
+    def __filter_repeated_edges(self, ii, jj):
+        eset = set(zip(self.ii.tolist(), self.jj.tolist())) | set(
+            zip(self.ii_inac.tolist(), self.jj_inac.tolist()))
+        keep = [k for k, (i, j) in enumerate(zip(ii, jj))
+                if (int(i), int(j)) not in eset]
+        return ii[keep], jj[keep]
+
+    def add_factors(self, ii, jj, remove=False):
+        """factor_graph.py:97-143."""
+        ii = np.asarray(ii, np.int64).reshape(-1)
+        jj = np.asarray(jj, np.int64).reshape(-1)
+        ii, jj = self.__filter_repeated_edges(ii, jj)
+        if ii.shape[0] == 0:
+            return
+
+        if (self.max_factors > 0
+                and self.ii.shape[0] + ii.shape[0] > self.max_factors
+                and self.corr_pyr is not None and remove):
+            ix = np.argsort(np.argsort(self.age))  # rank by age
+            self.rm_factors(ix >= self.max_factors - ii.shape[0], store=True)
+
+        store = self.state.store
+        net = store.nets[ii]
+        inp = store.inps[ii]
+
+        if self.corr_impl == "volume":
+            f1 = store.fmaps[ii]
+            f2 = store.fmaps[jj]
+            pyr = correlation.corr_pyramid(f1, f2)
+            if self.corr_pyr is None:
+                self.corr_pyr = pyr
+            else:
+                self.corr_pyr = [jnp.concatenate([a, b], 0)
+                                 for a, b in zip(self.corr_pyr, pyr)]
+
+        target, _ = kstore.reproject(store, jnp.asarray(ii), jnp.asarray(jj))
+        weight = jnp.zeros_like(target)
+
+        self.ii = np.concatenate([self.ii, ii])
+        self.jj = np.concatenate([self.jj, jj])
+        self.age = np.concatenate([self.age, np.zeros_like(ii)])
+        self.net = jnp.concatenate([self.net, net], 0)
+        self.inp = jnp.concatenate([self.inp, inp], 0)
+        self.target = jnp.concatenate([self.target, target], 0)
+        self.weight = jnp.concatenate([self.weight, weight], 0)
+
+    def rm_factors(self, mask, store=False):
+        mask = np.asarray(mask, bool)
+        if mask.sum() == 0:
+            return
+        if store:
+            self.ii_inac = np.concatenate([self.ii_inac, self.ii[mask]])
+            self.jj_inac = np.concatenate([self.jj_inac, self.jj[mask]])
+            self.target_inac = jnp.concatenate(
+                [self.target_inac, self.target[mask]], 0)
+            self.weight_inac = jnp.concatenate(
+                [self.weight_inac, self.weight[mask]], 0)
+        keep = ~mask
+        self.ii, self.jj, self.age = (self.ii[keep], self.jj[keep],
+                                      self.age[keep])
+        keep_j = jnp.asarray(np.where(keep)[0])
+        self.net = self.net[keep_j]
+        self.inp = self.inp[keep_j]
+        self.target = self.target[keep_j]
+        self.weight = self.weight[keep_j]
+        if self.corr_pyr is not None:
+            self.corr_pyr = [c[keep_j] for c in self.corr_pyr]
+
+    def filter_edges(self):
+        """Remove low-confidence long-range edges (factor_graph.py:69-76)."""
+        conf = np.asarray(jnp.mean(self.weight, axis=(1, 2, 3)))
+        mask = (np.abs(self.ii - self.jj) > 2) & (conf < 0.001)
+        self.ii_bad = np.concatenate([self.ii_bad, self.ii[mask]])
+        self.jj_bad = np.concatenate([self.jj_bad, self.jj[mask]])
+        self.rm_factors(mask, store=False)
+
+    def rm_keyframe(self, ix: int):
+        """factor_graph.py:173-215 — shift store + reindex edges."""
+        self.state.store = kstore.remove_keyframe(self.state.store, ix)
+
+        m = (self.ii_inac == ix) | (self.jj_inac == ix)
+        self.ii_inac = np.where(self.ii_inac >= ix, self.ii_inac - 1,
+                                self.ii_inac)
+        self.jj_inac = np.where(self.jj_inac >= ix, self.jj_inac - 1,
+                                self.jj_inac)
+        if m.any():
+            keep = jnp.asarray(np.where(~m)[0])
+            self.ii_inac = self.ii_inac[~m]
+            self.jj_inac = self.jj_inac[~m]
+            self.target_inac = self.target_inac[keep]
+            self.weight_inac = self.weight_inac[keep]
+
+        m = (self.ii == ix) | (self.jj == ix)
+        self.ii = np.where(self.ii >= ix, self.ii - 1, self.ii)
+        self.jj = np.where(self.jj >= ix, self.jj - 1, self.jj)
+        self.rm_factors(m, store=False)
+
+    # ------------------------------------------------------------------
+    # update (jitted core)
+    # ------------------------------------------------------------------
+
+    def _padded_edges(self, arrs, ii, jj, cap):
+        E = ii.shape[0]
+        pad = cap - E
+        out = []
+        for a in arrs:
+            out.append(jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+                if pad > 0 else a[:cap])
+        iip = np.concatenate([ii, np.zeros(pad, np.int64)])[:cap]
+        jjp = np.concatenate([jj, np.zeros(pad, np.int64)])[:cap]
+        valid = np.arange(cap) < E
+        return out, iip, jjp, valid
+
+    def update(self, t0=None, t1=None, itrs=2, use_inactive=False,
+               motion_only=False):
+        if self.ii.shape[0] == 0:
+            return
+        store = self.state.store
+        F = store.poses.shape[0]
+
+        cap = _bucket(self.ii.shape[0])
+        (net, inp, target, weight, c0, c1, c2, c3), iip, jjp, valid = \
+            self._padded_edges(
+                [self.net, self.inp, self.target, self.weight,
+                 *self.corr_pyr], self.ii, self.jj, cap)
+
+        if use_inactive and self.ii_inac.shape[0] > 0:
+            tmin = max(1, int(self.ii.min()) + 1) if t0 is None else t0
+            m = (self.ii_inac >= tmin - 3) & (self.jj_inac >= tmin - 3)
+        else:
+            m = np.zeros(self.ii_inac.shape[0], bool)
+        icap = _bucket(max(int(m.sum()), 1))
+        (itgt, iwgt), iii, ijj, ivalid = self._padded_edges(
+            [self.target_inac[jnp.asarray(np.where(m)[0])],
+             self.weight_inac[jnp.asarray(np.where(m)[0])]],
+            self.ii_inac[m], self.jj_inac[m], icap)
+
+        if t0 is None:
+            t0 = max(1, int(self.ii.min()) + 1)
+        if t1 is None:
+            t1 = max(int(self.ii.max()), int(self.jj.max())) + 1
+
+        # GraphAgg/damping/upsample use a pmax-slot window anchored at
+        # frame_base (must cover every active edge's source frame); the BA
+        # pose window [t0, t1) uses its own pmax slots.
+        frame_base = max(0, t1 - self.pmax)
+        # padded-edge group table: active slots first, then inactive slots
+        ii_groups = np.concatenate(
+            [iip * valid + (1 - valid) * -1, iii * ivalid + (1 - ivalid) * -1])
+        groups = jnp.asarray(dba.make_edge_groups(
+            ii_groups, F, self.group_degree))
+
+        sh, sw = kstore.slice_hw(*store.mono_disps_up.shape[-2:])
+        out = _update_core(
+            self.params, store.poses, store.disps, store.disps_up,
+            store.intrinsics, store.uncertainties_inv, store.mono_disps,
+            store.mono_mask_up[:, sh, sw],
+            net, inp, target, weight, c0, c1, c2, c3,
+            jnp.asarray(iip), jnp.asarray(jjp), jnp.asarray(valid),
+            frame_base,
+            itgt, iwgt, jnp.asarray(iii), jnp.asarray(ijj),
+            jnp.asarray(ivalid),
+            self.damping, groups, t0, t1,
+            iters=itrs, pmax=self.pmax, motion_only=motion_only,
+            metric_depth_reg=self.state.metric_depth_reg,
+            uncertainty_aware=self.state.uncertainty_aware)
+
+        E = self.ii.shape[0]
+        self.net = out.net[:E]
+        self.target = out.target[:E]
+        self.weight = out.weight[:E]
+        self.damping = out.damping
+        self.state.store = store._replace(
+            poses=out.poses, disps=out.disps, disps_up=out.disps_up)
+        self.age += 1
+
+    def update_lowmem(self, t0=None, t1=None, itrs=2, steps=8,
+                      chunk_frames=8, pmax=None):
+        """Global BA with on-the-fly correlation (factor_graph.py:266-311).
+
+        Per step: recompute reprojections, run the GRU over edges in chunks
+        of `chunk_frames` source frames with alt_corr (no volumes), then one
+        full-window DBA with lm=1e-5, ep=1e-2."""
+        if self.ii.shape[0] == 0:
+            return
+        store = self.state.store
+        F = store.poses.shape[0]
+        if t1 is None:
+            t1 = max(int(self.ii.max()), int(self.jj.max())) + 1
+        if t0 is None:
+            t0 = 1
+        if pmax is None:
+            pmax = _bucket(t1 - t0 + 1)
+
+        fpyr = correlation.fmap_pyramid(store.fmaps)
+
+        for _ in range(steps):
+            store = self.state.store
+            jmax = int(self.jj.max())
+            for i0 in range(0, jmax + 1, chunk_frames):
+                v = (self.ii >= i0) & (self.ii < i0 + chunk_frames)
+                if v.sum() < 1:
+                    continue
+                sel = np.where(v)[0]
+                cap = _bucket(len(sel))
+                sel_j = jnp.asarray(sel)
+                (net, tgt), iip, jjp, valid = self._padded_edges(
+                    [self.net[sel_j], self.target[sel_j]],
+                    self.ii[sel], self.jj[sel], cap)
+                inp = store.inps[jnp.asarray(
+                    np.concatenate([self.ii[sel],
+                                    np.zeros(cap - len(sel), np.int64)]))]
+                fb = max(0, int(self.ii[sel].min()))
+                net2, tgt2, wgt2, eta_new, has_edge = _lowmem_gru_core(
+                    self.params, store.poses, store.disps, store.intrinsics,
+                    fpyr[0], fpyr[1], fpyr[2], fpyr[3],
+                    net, inp, tgt, jnp.asarray(iip), jnp.asarray(jjp),
+                    jnp.asarray(valid), fb, pmax=min(chunk_frames * 2, pmax))
+                # write back (host scatter; chunked so sizes are small)
+                self.net = self.net.at[sel_j].set(net2[:len(sel)])
+                self.target = self.target.at[sel_j].set(tgt2[:len(sel)])
+                self.weight = self.weight.at[sel_j].set(wgt2[:len(sel)])
+                fb_frames = fb + np.arange(min(chunk_frames * 2, pmax))
+                fb_frames = np.clip(fb_frames, 0, F - 1)
+                self.damping = self.damping.at[jnp.asarray(fb_frames)].set(
+                    jnp.where(has_edge[:, None, None], eta_new,
+                              self.damping[jnp.asarray(fb_frames)]))
+
+            # full-window BA
+            cap = _bucket(self.ii.shape[0])
+            (tgt, wgt), iip, jjp, valid = self._padded_edges(
+                [self.target, self.weight], self.ii, self.jj, cap)
+            ii_groups = iip * valid + (1 - valid) * -1
+            groups = jnp.asarray(dba.make_edge_groups(
+                ii_groups, F, self.group_degree))
+            eta = 0.2 * self.damping + EP_DAMP
+            self.state.store = kstore.ba(
+                self.state.store, tgt, wgt, eta, jnp.asarray(iip),
+                jnp.asarray(jjp), jnp.asarray(valid), groups, t0, t1,
+                iters=itrs, lm=1e-5, ep=1e-2,
+                metric_depth_reg=self.state.metric_depth_reg,
+                uncertainty_aware=self.state.uncertainty_aware, pmax=pmax)
+
+    def clear_edges(self):
+        self.ii = np.zeros(0, np.int64)
+        self.jj = np.zeros(0, np.int64)
+        self.age = np.zeros(0, np.int64)
+        self.net = jnp.zeros((0, self.h, self.w, 128))
+        self.inp = jnp.zeros((0, self.h, self.w, 128))
+        self.target = jnp.zeros((0, self.h, self.w, 2))
+        self.weight = jnp.zeros((0, self.h, self.w, 2))
+        self.corr_pyr = None
+
+    # ------------------------------------------------------------------
+    # edge proposal (host, numpy — mirrors reference logic)
+    # ------------------------------------------------------------------
+
+    def add_neighborhood_factors(self, t0, t1, r=3):
+        ii, jj = np.meshgrid(np.arange(t0, t1), np.arange(t0, t1),
+                             indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+        keep = (np.abs(ii - jj) > 0) & (np.abs(ii - jj) <= r)
+        self.add_factors(ii[keep], jj[keep])
+
+    def _distance_matrix(self, ii, jj, beta):
+        store = self.state.store
+        d = kstore.distance(store, self.state.counter, jnp.asarray(ii),
+                            jnp.asarray(jj), beta=beta)
+        return np.array(d)  # writable copy (np.asarray of jax is read-only)
+
+    def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
+                              thresh=16.0, remove=False):
+        """factor_graph.py:325-385 (host numpy transcription)."""
+        t = self.state.counter
+        ix = np.arange(t0, t)
+        jx = np.arange(t1, t)
+        if len(ix) == 0 or len(jx) == 0:
+            return
+        ii, jj = np.meshgrid(ix, jx, indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+
+        d = self._distance_matrix(ii, jj, beta)
+        d[ii - rad < jj] = np.inf
+        d[d > 100] = np.inf
+
+        ii1 = np.concatenate([self.ii, self.ii_bad, self.ii_inac])
+        jj1 = np.concatenate([self.jj, self.jj_bad, self.jj_inac])
+        for i, j in zip(ii1, jj1):
+            for di in range(-nms, nms + 1):
+                for dj in range(-nms, nms + 1):
+                    if abs(di) + abs(dj) <= max(min(abs(i - j) - 2, nms), 0):
+                        i1, j1 = i + di, j + dj
+                        if (t0 <= i1 < t) and (t1 <= j1 < t):
+                            d[(i1 - t0) * (t - t1) + (j1 - t1)] = np.inf
+
+        es = []
+        for i in range(t0, t):
+            for j in range(max(i - rad - 1, 0), i):
+                es.append((i, j))
+                es.append((j, i))
+                d[(i - t0) * (t - t1) + (j - t1)] = np.inf
+
+        for k in np.argsort(d):
+            if d[k] > thresh:
+                continue
+            if len(es) > self.max_factors:
+                break
+            i, j = int(ii[k]), int(jj[k])
+            es.append((i, j))
+            es.append((j, i))
+            for di in range(-nms, nms + 1):
+                for dj in range(-nms, nms + 1):
+                    if abs(di) + abs(dj) <= max(min(abs(i - j) - 2, nms), 0):
+                        i1, j1 = i + di, j + dj
+                        if (t0 <= i1 < t) and (t1 <= j1 < t):
+                            d[(i1 - t0) * (t - t1) + (j1 - t1)] = np.inf
+
+        if es:
+            ii_new, jj_new = np.array(es).T
+            self.add_factors(ii_new, jj_new, remove)
+
+    def add_backend_proximity_factors(self, t_start, t_end, nms, radius,
+                                      thresh, max_factors, beta,
+                                      t_start_loop=None, loop=False):
+        """factor_graph.py:388-465."""
+        if t_start_loop is None or not loop:
+            t_start_loop = t_start
+        ilen = t_end - t_start_loop
+        jlen = t_end - t_start
+        ix = np.arange(t_start_loop, t_end)
+        jx = np.arange(t_start, t_end)
+        ii, jj = np.meshgrid(ix, jx, indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+
+        d = self._distance_matrix(ii, jj, beta)
+        rawd = d.copy().reshape(ilen, jlen)
+        d[ii - radius < jj] = np.inf
+        d[d > thresh] = np.inf
+        d = d.reshape(ilen, jlen)
+
+        es = []
+        for i in range(t_start_loop, t_end):
+            for j in range(max(i - radius - 1, 0), i):
+                es.append((i, j))
+                es.append((j, i))
+                d[i - t_start_loop, j - t_start] = np.inf
+
+        vals = np.sort(d.reshape(-1))
+        order = np.argsort(d.reshape(-1))
+        order = order[vals <= thresh]
+
+        loop_edges = 0
+        n_neighboring = 1
+        for k in order.tolist():
+            di, dj = k // jlen, k % jlen
+            if d[di, dj] > thresh:
+                continue
+            if len(es) > max_factors:
+                break
+            i, j = int(ii[k]), int(jj[k])
+            if loop:
+                sub_es = []
+                for si in range(max(i - n_neighboring, t_start_loop),
+                                min(i + n_neighboring + 1, t_end)):
+                    for sj in range(max(j - n_neighboring, t_start),
+                                    min(j + n_neighboring + 1, t_end)):
+                        if rawd[si - t_start_loop, sj - t_start] <= thresh:
+                            if si != sj and si - sj > 20:
+                                sub_es.append((si, sj))
+                es += sub_es
+                loop_edges += len(sub_es)
+            else:
+                es.append((i, j))
+                es.append((j, i))
+            d[max(0, di - nms):min(ilen, di + nms + 1),
+              max(0, dj - nms):min(jlen, dj + nms + 1)] = np.inf
+
+        if len(es) < 3 or (loop and loop_edges == 0):
+            return 0
+        ii_new, jj_new = np.array(es).T
+        self.add_factors(ii_new, jj_new, remove=True)
+        return len(self.ii)

@@ -1,0 +1,151 @@
+"""Frontend: local sliding-window BA driver (port of src/frontend.py).
+
+Initialization (warmup keyframes -> neighborhood + proximity factors, 8+8
+updates), per-keyframe update (edge aging, proximity proposal, iters1+iters2
+updates, flow-based keyframe culling, optional loop closure via the
+backend), and the second-stage re-initialization once the uncertainty MLP
+has been trained (frontend.py:99-175).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import keyframe_store as kstore
+from .factor_graph import FactorGraph
+
+
+class Frontend:
+    def __init__(self, state, params, cfg, backend=None,
+                 uncertainty_update_fn=None):
+        self.state = state
+        self.params = params
+        self.cfg = cfg
+        t = cfg["tracking"]
+        self.max_age = t["max_age"]
+        self.iters1 = 8
+        self.iters2 = 4
+        self.warmup = t["warmup"]
+        self.beta = t["beta"]
+        self.frontend_nms = t["frontend"]["nms"]
+        self.keyframe_thresh = t["frontend"]["keyframe_thresh"]
+        self.frontend_window = t["frontend"]["window"]
+        self.frontend_thresh = t["frontend"]["thresh"]
+        self.frontend_radius = t["frontend"]["radius"]
+        self.frontend_max_factors = t["frontend"]["max_factors"]
+        self.enable_loop = t["frontend"]["enable_loop"]
+        self.multiview_thresh = t["multiview_filter"]["thresh"]
+        self.multiview_visible_num = t["multiview_filter"]["visible_num"]
+
+        self.backend = backend  # Backend instance for loop closure
+        self.uncertainty_update_fn = uncertainty_update_fn  # () -> None
+
+        self.graph = FactorGraph(state, params, corr_impl="volume",
+                                 max_factors=self.frontend_max_factors)
+        self.t1 = 0
+        self.is_initialized = False
+        self.max_consecutive_drop = (self.max_age / self.iters1) // 3
+        self.num_keyframes_dropped = 0
+
+    # ------------------------------------------------------------------
+
+    def _prep_next_slot(self):
+        """poses[t1] = poses[t1-1]; disps[t1] = mean (frontend.py:92-93)."""
+        store = self.state.store
+        poses = store.poses.at[self.t1].set(store.poses[self.t1 - 1])
+        disps = store.disps.at[self.t1].set(store.disps[self.t1 - 1].mean())
+        self.state.store = store._replace(poses=poses, disps=disps)
+
+    def _update_depth_masks(self):
+        self.state.store = kstore.update_valid_depth_mask(
+            self.state.store, self.state.counter, self.multiview_thresh,
+            self.multiview_visible_num)
+
+    def __update(self, force_to_add_keyframe):
+        """frontend.py:51-97."""
+        self.t1 += 1
+        if self.graph.corr_pyr is not None:
+            self.graph.rm_factors(self.graph.age > self.max_age, store=True)
+
+        self.graph.add_proximity_factors(
+            self.t1 - 5, max(self.t1 - self.frontend_window, 0),
+            rad=self.frontend_radius, nms=self.frontend_nms,
+            thresh=self.frontend_thresh, beta=self.beta, remove=True)
+
+        for _ in range(self.iters1):
+            self.graph.update(None, None, use_inactive=True)
+
+        d = kstore.distance(self.state.store, self.state.counter,
+                            jnp.array([self.t1 - 2]), jnp.array([self.t1 - 1]),
+                            beta=self.beta)
+        if (float(d[0]) < self.keyframe_thresh
+                and self.num_keyframes_dropped < self.max_consecutive_drop
+                and not force_to_add_keyframe):
+            self.graph.rm_keyframe(self.t1 - 1)
+            self.state.remove_keyframe_host(self.t1 - 1)
+            self.num_keyframes_dropped += 1
+            self.state.counter -= 1
+            self.t1 -= 1
+        else:
+            cur_t = self.state.counter
+            self.num_keyframes_dropped = 0
+            ran_loop = False
+            if (self.enable_loop and cur_t > self.frontend_window
+                    and self.backend is not None):
+                _, n_edge = self.backend.loop_ba(
+                    t_start=0, t_end=cur_t, steps=self.iters2,
+                    motion_only=False, local_graph=self.graph)
+                ran_loop = n_edge > 0
+            if not ran_loop:
+                for _ in range(self.iters2):
+                    self.graph.update(None, None, use_inactive=True)
+
+        self._prep_next_slot()
+
+    def __initialize(self):
+        """frontend.py:99-128."""
+        self.t1 = self.state.counter
+        self.graph.add_neighborhood_factors(0, self.t1, r=3)
+        for _ in range(8):
+            self.graph.update(1, use_inactive=True)
+        self.graph.add_proximity_factors(0, 0, rad=2, nms=2,
+                                         thresh=self.frontend_thresh,
+                                         remove=False)
+        for _ in range(8):
+            self.graph.update(1, use_inactive=True)
+        self._prep_next_slot_init()
+        self.is_initialized = True
+        self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
+
+    def _prep_next_slot_init(self):
+        store = self.state.store
+        poses = store.poses.at[self.t1].set(store.poses[self.t1 - 1])
+        disps = store.disps.at[self.t1].set(
+            store.disps[self.t1 - 4:self.t1].mean())
+        self.state.store = store._replace(poses=poses, disps=disps)
+
+    def initialize_second_stage(self):
+        """frontend.py:130-159 (after first uncertainty training)."""
+        self.t1 = self.state.counter
+        if self.uncertainty_update_fn is not None:
+            self.uncertainty_update_fn()
+        self.graph.add_proximity_factors(0, 0, rad=2, nms=2,
+                                         thresh=self.frontend_thresh,
+                                         remove=False)
+        for _ in range(8):
+            self.graph.update(1, use_inactive=True)
+        self.graph.age = np.maximum(self.graph.age - 8, 0)
+        self._prep_next_slot_init()
+        self.is_initialized = True
+        self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
+
+    def __call__(self, force_to_add_keyframe=False):
+        if not self.is_initialized and self.state.counter == self.warmup:
+            self.__initialize()
+            self._update_depth_masks()
+        elif self.is_initialized and self.t1 < self.state.counter:
+            if self.uncertainty_update_fn is not None:
+                self.uncertainty_update_fn()
+            self.__update(force_to_add_keyframe)
+            self._update_depth_masks()
