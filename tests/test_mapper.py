@@ -93,6 +93,41 @@ def test_mapper_initialize_and_keyframe(cfg):
     assert int((out > 0).sum()) > 0
 
 
+def test_refine_pose_non_key_frame():
+    """Pose refinement against a known map recovers a perturbed pose
+    (mapper.py:810-917 semantics)."""
+    from wildgs_slam_tpu.ops.rasterizer import render
+    from wildgs_slam_tpu.slam.mapper import _refine_pose_core
+
+    key = jax.random.PRNGKey(0)
+    N, H, W = 150, 48, 64
+    k1, k2, k3 = jax.random.split(key, 3)
+    means = jnp.concatenate([jax.random.uniform(k1, (N, 2)) * 2.4 - 1.2,
+                             2.0 + jax.random.uniform(k2, (N, 1)) * 1.5], -1)
+    scales = 0.08 + 0.1 * jax.random.uniform(k3, (N, 3))
+    rots = jnp.tile(jnp.array([0., 0, 0, 1.]), (N, 1))
+    opac = jnp.full((N,), 0.95)
+    shc = jax.random.uniform(jax.random.PRNGKey(8), (N, 1, 3))
+    intr = jnp.array([55.0, 55.0, W / 2, H / 2])
+    gt = render(means, scales, rots, opac, shc, lie.se3_identity(), intr,
+                (H, W), capacity=256, chunk=32)
+
+    gmap = gm.create(256, max_sh_degree=0)
+    params = gm.GaussianParams(
+        xyz=means, f_dc=shc[:, :1], f_rest=jnp.zeros((N, 0, 3)),
+        opacity=jnp.log(opac / (1 - opac))[:, None], scaling=jnp.log(scales),
+        rotation=jnp.concatenate([rots[:, 3:4], rots[:, :3]], -1))
+    gmap, _ = gm.extend(gmap, params, jnp.ones(N, bool), kf_id=0)
+
+    w2c_bad = lie.se3_exp(jnp.array([0.02, -0.01, 0.0, 0.005, -0.008, 0.004]))
+    err0 = float(jnp.linalg.norm(lie.se3_log(w2c_bad)))
+    w2c_ref = _refine_pose_core(
+        gmap.params, gmap.aux.alive, w2c_bad, gt.color, jnp.ones((H, W)),
+        None, intr, (H, W), 256, 32, 0.003, 0.001, 0.01)
+    err1 = float(jnp.linalg.norm(lie.se3_log(w2c_ref)))
+    assert err1 < 0.5 * err0
+
+
 def test_deform_rigid_moves_only_anchored():
     gmap = gm.create(64, max_sh_degree=0)
     key = jax.random.PRNGKey(0)

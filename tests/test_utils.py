@@ -1,0 +1,130 @@
+"""Tests for datasets (synthetic TUM tree), eval_traj (Umeyama/ATE), and
+common utilities."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from wildgs_slam_tpu.config import load_config
+from wildgs_slam_tpu.utils import eval_traj
+from wildgs_slam_tpu.utils.common import align_scale_and_shift
+from wildgs_slam_tpu.utils.datasets import TUM_RGBD, RGB_NoPose, get_dataset
+
+
+def make_tum_dataset(root, n=5):
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    rgb_lines, depth_lines, gt_lines = [], [], []
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        t = 1000.0 + i * 0.1
+        img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(root, "rgb", f"{t:.6f}.png"), img)
+        depth = (rng.rand(48, 64) * 5000 + 1000).astype(np.uint16)
+        cv2.imwrite(os.path.join(root, "depth", f"{t:.6f}.png"), depth)
+        rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+        depth_lines.append(f"{t:.6f} depth/{t:.6f}.png")
+        gt_lines.append(f"{t:.6f} {0.1*i} 0 0 0 0 0 1")
+    hdr = "# header\n# header\n# header\n"
+    with open(os.path.join(root, "rgb.txt"), "w") as f:
+        f.write(hdr + "\n".join(rgb_lines))
+    with open(os.path.join(root, "depth.txt"), "w") as f:
+        f.write(hdr + "\n".join(depth_lines))
+    with open(os.path.join(root, "groundtruth.txt"), "w") as f:
+        f.write(hdr + "\n".join(gt_lines))
+
+
+@pytest.fixture
+def tum_cfg(tmp_path):
+    cfg = load_config("configs/wildgs_slam.yaml")
+    cfg["cam"].update(H=48, W=64, fx=50.0, fy=50.0, cx=32.0, cy=24.0,
+                      H_out=32, W_out=48, H_edge=0, W_edge=0)
+    cfg["data"]["input_folder"] = str(tmp_path / "tum")
+    make_tum_dataset(str(tmp_path / "tum"))
+    return cfg
+
+
+def test_tum_loader(tum_cfg):
+    ds = TUM_RGBD(tum_cfg)
+    assert len(ds) == 5
+    idx, color, depth, pose = ds[0]
+    assert color.shape == (32, 48, 3)
+    assert color.dtype == np.float32
+    assert 0 <= color.min() and color.max() <= 1
+    assert depth.shape == (32, 48)
+    # first pose normalized to identity
+    np.testing.assert_allclose(pose, np.eye(4), atol=1e-6)
+    # second pose has x translation (relative to first)
+    _, _, _, p1 = ds[1]
+    assert abs(p1[0, 3] - 0.1) < 1e-5
+    # intrinsics rescaled by W_out/W
+    assert abs(ds.intrinsic[0] - 50.0 * 48 / 64) < 1e-6
+
+
+def test_dataset_registry(tum_cfg):
+    ds = get_dataset(tum_cfg)
+    assert isinstance(ds, TUM_RGBD)
+
+
+def test_rgb_nopose(tum_cfg, tmp_path):
+    tum_cfg["dataset"] = "rgb_nopose"
+    tum_cfg["data"]["input_folder"] = str(tmp_path / "tum")
+    ds = RGB_NoPose(tum_cfg)
+    assert len(ds) == 5  # finds pngs under <folder>/rgb/ too
+    _, color, depth, pose = ds[0]
+    assert depth is None and pose is None
+
+
+def test_umeyama_alignment_recovers_sim3():
+    rng = np.random.RandomState(1)
+    gt = rng.rand(50, 3) * 4
+    # build est = inverse sim3 of gt + noise
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_euler("xyz", [0.3, -0.2, 0.5]).as_matrix()
+    s, t = 2.5, np.array([1.0, -2.0, 0.5])
+    est = ((gt - t) @ R) / s  # inverse of y = s R x + t
+    stats = eval_traj.ape_statistics(est, gt)
+    assert stats["rmse"] < 1e-6
+    assert abs(stats["scale"] - s) < 1e-6
+
+    noisy = est + 0.01 * rng.randn(*est.shape)
+    stats = eval_traj.ape_statistics(noisy, gt)
+    assert 0.001 < stats["rmse"] < 0.1
+
+
+def test_evaluate_ate_skips_nan_gt():
+    est = np.tile(np.eye(4), (10, 1, 1))
+    est[:, 0, 3] = np.arange(10) * 0.1
+    gt = est.copy()
+    gt[3] = np.nan
+    stats = eval_traj.evaluate_ate(est, gt)
+    assert stats["n"] == 9
+    assert stats["rmse"] < 1e-9
+
+
+def test_save_traj_tum(tmp_path):
+    poses = np.tile(np.eye(4), (3, 1, 1))
+    path = str(tmp_path / "traj" / "est.txt")
+    eval_traj.save_traj_tum(path, [0, 1, 2], poses)
+    lines = open(path).read().strip().split("\n")
+    assert len(lines) == 3
+    assert lines[0].split()[-1] == "1.0"  # qw
+
+
+def test_align_scale_and_shift():
+    rng = np.random.RandomState(2)
+    pred = rng.rand(20, 30) + 0.5
+    target = 3.0 * pred + 1.5
+    s, q, err = align_scale_and_shift(pred, target)
+    assert abs(float(s) - 3.0) < 1e-4
+    assert abs(float(q) - 1.5) < 1e-4
+    assert float(err) < 1e-5
+    # weighted: outliers masked out
+    target2 = target.copy()
+    target2[0] = 100.0
+    w = np.ones_like(pred)
+    w[0] = 0.0
+    s2, q2, _ = align_scale_and_shift(pred, target2, w)
+    assert abs(float(s2) - 3.0) < 1e-4

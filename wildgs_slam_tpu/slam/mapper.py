@@ -642,6 +642,29 @@ class Mapper:
         if split:
             self.map_opt_online(self.current_window, iters=1)
 
+    def refine_pose_non_key_frame(self, color, w2c_init, features=None):
+        """Refine a non-keyframe pose against the current map
+        (mapper.py:810-917). color (H, W, 3); returns refined w2c (7,)."""
+        grad_mask = losses.compute_grad_mask(
+            jnp.asarray(color), self.mc["Training"]["edge_threshold"])
+        uncer_pix = None
+        if self.uncertainty_aware and features is not None:
+            sigma = UncertaintyMLP(
+                in_dim=self.mc["uncertainty_params"]["feature_dim"]).apply(
+                self.uncer_params, jnp.asarray(features))
+            sigma = jnp.clip(sigma, 0.1, None) + 1e-3
+            big = jax.image.resize(sigma, self.image_size, "bilinear")
+            data_rate = 1 + 1 * losses.compute_bias_factor(
+                self.mc["uncertainty_params"]["train_frac_fix"], 0.8)
+            uncer_pix = (big - 0.1) * data_rate + 0.1
+        return _refine_pose_core(
+            self.gaussians.params, self.gaussians.aux.alive,
+            jnp.asarray(w2c_init), jnp.asarray(color), grad_mask, uncer_pix,
+            self.intrinsics_full, self.image_size, self.render_list_capacity,
+            64, self.mc["Training"]["lr"]["cam_rot_delta"],
+            self.mc["Training"]["lr"]["cam_trans_delta"],
+            self.mc["Training"]["rgb_boundary_threshold"])
+
     # ------------------------------------------------------------------
     # keyframe re-sync + deformation (mapper.py:365-429)
     # ------------------------------------------------------------------
@@ -677,6 +700,56 @@ class Mapper:
                             depth_new))
                     self.depth_dict[video_idx] = depth_new
             self.cam_w2c_old[video_idx] = w2c_new
+
+
+@partial(jax.jit, static_argnames=("image_size", "capacity", "chunk",
+                                   "iters"))
+def _refine_pose_core(params, alive, w2c0, gt_color, grad_mask, uncer_pix,
+                      intrinsics, image_size, capacity, chunk,
+                      lr_rot, lr_trans, rgb_boundary_threshold,
+                      iters: int = 100):
+    """MonoGS-style pose refinement (mapper.py:810-917): Adam on the se3
+    twist (rho, theta) + exposure; pose re-anchored by exp(delta)·w2c each
+    iteration with persistent Adam moments; converged when |delta| < 1e-4."""
+
+    def loss_fn(delta, exposure, w2c):
+        out = render(
+            params.xyz, gm.get_scaling(params), gm.get_rotation_xyzw(params),
+            gm.get_opacity(params), gm.get_sh(params), w2c, intrinsics,
+            image_size, alive=alive, capacity=capacity, chunk=chunk,
+            pose_delta=delta)
+        return losses.tracking_loss_rgb(
+            out.color, gt_color, out.alpha, grad_mask, exposure[0],
+            exposure[1], rgb_boundary_threshold, uncertainty_pix=uncer_pix)
+
+    lr = jnp.concatenate([jnp.full(3, lr_trans), jnp.full(3, lr_rot),
+                          jnp.full(2, 0.01)])
+
+    def body(carry):
+        w2c, m, v, cnt, exposure, it, converged = carry
+        g_delta, g_exp = jax.grad(loss_fn, argnums=(0, 1))(
+            jnp.zeros(6), exposure, w2c)
+        g = jnp.concatenate([g_delta, g_exp])
+        cnt = cnt + 1
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        mh = m / (1 - 0.9 ** cnt.astype(jnp.float32))
+        vh = v / (1 - 0.999 ** cnt.astype(jnp.float32))
+        step = lr * mh / (jnp.sqrt(vh) + 1e-8)
+        delta = -step[:6]
+        exposure = exposure - step[6:]
+        w2c = lie.se3_retr(w2c, delta)
+        converged = jnp.linalg.norm(delta) < 1e-4
+        return (w2c, m, v, cnt, exposure, it + 1, converged)
+
+    def cond(carry):
+        _, _, _, _, _, it, converged = carry
+        return (it < iters) & ~converged
+
+    init = (w2c0, jnp.zeros(8), jnp.zeros(8), jnp.zeros((), jnp.int32),
+            jnp.zeros(2), jnp.zeros((), jnp.int32), jnp.array(False))
+    w2c, *_ = jax.lax.while_loop(cond, body, init)
+    return w2c
 
 
 class HashableDict(dict):

@@ -1,0 +1,267 @@
+"""SLAM system: single-controller orchestration of tracking + mapping.
+
+Replaces the reference's 4-process architecture (src/slam.py:24-316 +
+src/tracker.py:31-88 pipe rendezvous): because the reference's tracker and
+mapper run LOCK-STEP anyway (tracker blocks on pipe.recv() per keyframe,
+SURVEY §3.5), a single host loop calling track/map steps in order is
+behaviorally identical — and deletes the pipes, locks, busy-wait barriers
+and shared-memory tensors. The uncertainty MLP coupling becomes a plain
+parameter handoff: the mapper trains it; the frontend reads it through
+`uncertainty_update_fn` before every BA (slam.py:52-57 + depth_video
+uncertainties_inv).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import save_config
+from ..models import droid_net
+from ..models.uncertainty import UncertaintyMLP
+from ..ops import lie
+from ..utils import eval_traj
+from ..utils.datasets import RGB_NoPose
+from . import gaussian_map as gm
+from . import keyframe_store as kstore
+from .backend import Backend
+from .frontend import Frontend
+from .mapper import Mapper
+from .motion_filter import MotionFilter
+from .state import SlamState
+from .trajectory_filler import PoseTrajectoryFiller
+
+
+class SLAM:
+    def __init__(self, cfg, stream, depth_fn=None, feat_fn=None,
+                 droid_params=None):
+        """depth_fn/feat_fn: mono-prior predictors (image -> depth / DINO
+        features); see models/priors.py for the built-in ones."""
+        self.cfg = cfg
+        self.stream = stream
+        self.save_dir = os.path.join(cfg["data"]["output"],
+                                     str(cfg.get("scene", "scene")))
+        os.makedirs(self.save_dir, exist_ok=True)
+        save_config(cfg, os.path.join(self.save_dir, "cfg.yaml"))
+
+        ht, wd = cfg["cam"]["H_out"], cfg["cam"]["W_out"]
+        intr = np.array(stream.intrinsic, np.float64)
+
+        self.uncertainty_aware = cfg["tracking"]["uncertainty_params"][
+            "activate"]
+        if self.uncertainty_aware and not cfg["mapping"][
+                "uncertainty_params"]["activate"]:
+            raise ValueError(
+                "if we use uncertainty-aware tracking, we must enable "
+                "uncertainty-aware mapping (slam.py:58-61)")
+
+        self.state = SlamState.create(
+            cfg, ht, wd, intr, buffer=cfg["tracking"]["buffer"],
+            uncertainty_aware=self.uncertainty_aware,
+            metric_depth_reg=cfg["tracking"]["backend"]["metric_depth_reg"])
+
+        # DROID network weights
+        if droid_params is None:
+            ckpt = cfg["tracking"].get("pretrained")
+            if ckpt and os.path.exists(ckpt):
+                droid_params = droid_net.load_droid_checkpoint(ckpt)
+            else:
+                print(f"[slam] WARNING: droid checkpoint {ckpt} not found — "
+                      "using random weights (tracking quality will suffer)")
+                droid_params = droid_net.init_droid_params(
+                    jax.random.PRNGKey(0), ht, wd)
+        self.droid_params = droid_params
+
+        self.mapper = Mapper(self.state, cfg,
+                             rng_seed=cfg.get("setup_seed", 43))
+
+        def uncertainty_update():
+            if not self.uncertainty_aware or self.state.counter == 0:
+                return
+            n = self.state.counter
+            feats = jnp.asarray(self.state.dino_feats[:n])
+            mlp = UncertaintyMLP(
+                in_dim=cfg["mapping"]["uncertainty_params"]["feature_dim"])
+            self.state.store = kstore.update_uncertainties(
+                self.state.store,
+                lambda f: mlp.apply(self.mapper.uncer_params, f),
+                feats, jnp.arange(n),
+                cfg["mapping"]["uncertainty_params"]["train_frac_fix"])
+
+        self.uncertainty_update = uncertainty_update
+        self.backend = Backend(self.state, droid_params, cfg,
+                               uncertainty_update_fn=uncertainty_update)
+        self.frontend = Frontend(self.state, droid_params, cfg,
+                                 backend=self.backend,
+                                 uncertainty_update_fn=uncertainty_update)
+        self.motion_filter = MotionFilter(
+            self.state, droid_params,
+            thresh=cfg["tracking"]["motion_filter"]["thresh"],
+            force_keyframe_every_n_frames=cfg["tracking"][
+                "force_keyframe_every_n_frames"],
+            depth_fn=depth_fn, feat_fn=feat_fn)
+        self.traj_filler = PoseTrajectoryFiller(
+            self.state, droid_params, feat_fn=feat_fn,
+            uncer_apply=(lambda f: UncertaintyMLP(
+                in_dim=cfg["mapping"]["uncertainty_params"]["feature_dim"]
+            ).apply(self.mapper.uncer_params, f))
+            if self.uncertainty_aware else None,
+            train_frac_fix=cfg["mapping"]["uncertainty_params"][
+                "train_frac_fix"])
+
+        self.ba_freq = cfg["tracking"]["backend"]["ba_freq"]
+        self.enable_online_ba = cfg["tracking"]["frontend"][
+            "enable_online_ba"]
+
+    # ------------------------------------------------------------------
+
+    def run(self):
+        """Main loop (tracker.py:31-88 + mapper pipe handoff, inlined)."""
+        cfg = self.cfg
+        stride = cfg.get("stride", 1)
+        max_frames = cfg.get("max_frames", -1)
+        n_frames = len(self.stream) if max_frames < 0 else min(
+            len(self.stream), max_frames)
+
+        prev_kf_idx = 0
+        prev_ba_idx = 0
+        t_start = time.time()
+
+        for i in range(0, n_frames, stride):
+            timestamp, image, _, _ = self.stream[i]
+            starting_count = self.state.counter
+            force = self.motion_filter.track(float(timestamp), image)
+            self.frontend(force)
+            curr_kf_idx = self.state.counter - 1
+
+            if curr_kf_idx != prev_kf_idx and self.frontend.is_initialized:
+                if self.state.counter == self.frontend.warmup:
+                    # initialization handoff (tracker.py:64-70)
+                    self.mapper.initialize_mapper(curr_kf_idx)
+                    self.frontend.initialize_second_stage()
+                else:
+                    if (self.enable_online_ba
+                            and curr_kf_idx >= prev_ba_idx + self.ba_freq):
+                        self.backend.dense_ba(2)
+                        prev_ba_idx = curr_kf_idx
+                    self.mapper.on_keyframe(curr_kf_idx, int(timestamp))
+            prev_kf_idx = curr_kf_idx
+
+        self.terminate()
+        print(f"[slam] done in {time.time() - t_start:.1f}s, "
+              f"{self.state.counter} keyframes")
+
+    # ------------------------------------------------------------------
+
+    def final_ba(self):
+        """Final global BA with metric-depth regularization disabled
+        (slam.py:131-145)."""
+        was = self.state.metric_depth_reg
+        self.state.metric_depth_reg = False
+        self.backend.dense_ba(7)
+        self.backend.dense_ba(12)
+        self.state.metric_depth_reg = was
+
+    def save_video(self, path):
+        """poses/disps/timestamps npz (depth_video.py:494-511)."""
+        n = self.state.counter
+        store = self.state.store
+        np.savez(
+            path,
+            timestamps=np.asarray(store.timestamp[:n]),
+            poses=np.asarray(store.poses[:n]),
+            disps=np.asarray(store.disps[:n]),
+            disps_up=np.asarray(store.disps_up[:n]),
+            mono_disps=np.asarray(store.mono_disps[:n]),
+            valid_depth_masks=np.asarray(store.valid_depth_mask[:n]),
+        )
+
+    def kf_traj_eval(self, out_prefix):
+        """Keyframe-trajectory ATE vs stream GT (eval_traj.py:113-140)."""
+        n = self.state.counter
+        ts = np.asarray(self.state.store.timestamp[:n]).astype(int)
+        est_w2c = np.asarray(self.state.store.poses[:n])
+        est_c2w = np.asarray(lie.se3_matrix(
+            lie.se3_inv(jnp.asarray(est_w2c))))
+        gt = []
+        for t in ts:
+            _, _, _, pose = self.stream[int(t)]
+            gt.append(pose if pose is not None else np.full((4, 4), np.nan))
+        gt = np.stack(gt)
+        stats = eval_traj.evaluate_ate(est_c2w, gt)
+        eval_traj.save_traj_tum(out_prefix + "_est.txt", ts, est_c2w)
+        eval_traj.write_metrics(out_prefix + "_metrics.txt", stats,
+                                label="keyframe trajectory ATE")
+        eval_traj.plot_trajectory(
+            out_prefix + "_plot.png",
+            eval_traj.poses_c2w_to_xyz(est_c2w[np.isfinite(
+                gt.reshape(len(gt), -1)).all(1)]),
+            eval_traj.poses_c2w_to_xyz(gt[np.isfinite(
+                gt.reshape(len(gt), -1)).all(1)]), stats)
+        return stats
+
+    def full_traj_eval(self, out_prefix):
+        """Fill non-keyframe poses + evaluate (eval_traj.py:143-195)."""
+        poses_w2c = self.traj_filler(self.stream,
+                                     stride=self.cfg.get("stride", 1))
+        est_c2w = np.asarray(lie.se3_matrix(
+            lie.se3_inv(jnp.asarray(poses_w2c))))
+        ts = np.arange(len(est_c2w))
+        gt = []
+        for i in range(0, len(self.stream), self.cfg.get("stride", 1)):
+            _, _, _, pose = self.stream[i]
+            gt.append(pose if pose is not None else np.full((4, 4), np.nan))
+        gt = np.stack(gt)[: len(est_c2w)]
+        stats = eval_traj.evaluate_ate(est_c2w, gt)
+        eval_traj.save_traj_tum(out_prefix + "_est.txt", ts, est_c2w)
+        eval_traj.write_metrics(out_prefix + "_metrics.txt", stats,
+                                label="full trajectory ATE")
+        return stats
+
+    def terminate(self):
+        """Final pipeline (slam.py:147-225)."""
+        cfg = self.cfg
+        os.makedirs(os.path.join(self.save_dir, "traj"), exist_ok=True)
+        has_gt = not isinstance(self.stream, RGB_NoPose) and \
+            self.stream.poses is not None
+
+        if cfg["tracking"]["backend"]["final_ba"]:
+            self.final_ba()
+
+        self.save_video(os.path.join(self.save_dir, "video.npz"))
+        if has_gt:
+            try:
+                stats = self.kf_traj_eval(
+                    os.path.join(self.save_dir, "traj", "kf_traj"))
+                print(f"[slam] keyframe ATE-RMSE: {stats['rmse']*100:.2f} cm")
+            except Exception as e:
+                print(f"[slam] kf eval failed: {e}")
+
+        if cfg["tracking"]["backend"]["final_ba"]:
+            iters = 3000 if cfg.get("fast_mode") else cfg["mapping"][
+                "final_refine_iters"]
+            self.mapper.final_refine(iters=iters)
+
+        if has_gt:
+            try:
+                stats = self.full_traj_eval(
+                    os.path.join(self.save_dir, "traj", "full_traj"))
+                print(f"[slam] full ATE-RMSE: {stats['rmse']*100:.2f} cm")
+            except Exception as e:
+                print(f"[slam] full traj eval failed: {e}")
+
+        n = gm.save_ply(self.mapper.gaussians,
+                        os.path.join(self.save_dir, "final_gs.ply"))
+        print(f"[slam] saved {n} gaussians")
+
+        if self.uncertainty_aware:
+            import pickle
+            with open(os.path.join(self.save_dir,
+                                   "uncertainty_mlp_weight.pkl"), "wb") as f:
+                pickle.dump(
+                    jax.tree.map(np.asarray, self.mapper.uncer_params), f)
