@@ -77,8 +77,11 @@ def bin_gaussians(
         & (y1[None, :] >= ty[:, None])
     )  # (T, N)
 
-    # 3. order-preserving compaction into fixed-capacity lists
-    pos = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1  # (T, N)
+    # 3. order-preserving compaction into fixed-capacity lists (prefix sum
+    # as a blocked triangular matmul — MXU instead of a sequential scan)
+    from ..scanops import cumsum_mxu
+
+    pos = cumsum_mxu(mask.astype(jnp.float32), axis=1).astype(jnp.int32) - 1
     counts = jnp.minimum(pos[:, -1] + 1, capacity)
     overflow = jnp.sum(jnp.maximum(pos[:, -1] + 1 - capacity, 0))
 

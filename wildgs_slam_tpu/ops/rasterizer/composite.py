@@ -21,6 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..scanops import cumprod_pos_mxu
 from .binning import TILE, TileBins, num_tiles
 
 _ALPHA_MIN = 1.0 / 255.0
@@ -98,9 +99,10 @@ def composite(
             (power > 0) | (alpha < _ALPHA_MIN) | ~clive[:, :, None], 0.0, alpha
         )
 
-        # transmittance chain along the chunk axis
+        # transmittance chain along the chunk axis (prefix product as a
+        # triangular matmul in log space — MXU instead of a sequential scan)
         one_m = 1.0 - alpha                                   # (T, ck, P)
-        t_incl = jnp.cumprod(one_m, axis=1)                   # T after each k
+        t_incl = cumprod_pos_mxu(one_m, axis=1)               # T after each k
         t_before = T_run[:, None, :] * jnp.concatenate(
             [jnp.ones_like(t_incl[:, :1]), t_incl[:, :-1]], axis=1
         )

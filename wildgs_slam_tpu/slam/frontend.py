@@ -9,8 +9,9 @@ has been trained (frontend.py:99-175).
 
 from __future__ import annotations
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import keyframe_store as kstore
 from .factor_graph import FactorGraph
@@ -57,6 +58,30 @@ class Frontend:
         disps = store.disps.at[self.t1].set(store.disps[self.t1 - 1].mean())
         self.state.store = store._replace(poses=poses, disps=disps)
 
+    def _filter_mono_depth(self, idx):
+        """Cross-view mono depth filtering hook (frontend.py:64-66 ->
+        depth_video.filter_high_err_mono_depth)."""
+        nb = self.cfg["tracking"]["nb_ref_frame_metric_depth_filtering"]
+        jj = self.graph.jj[self.graph.ii == idx]
+        refs = list(dict.fromkeys(int(j) for j in jj))[:nb]
+        for j in range(idx - 1, max(-1, idx - nb - 1), -1):
+            if len(refs) >= nb:
+                break
+            if j >= 0 and j not in refs:
+                refs.append(j)
+        if not refs:
+            return
+        ht, wd = self.state.images.shape[1:3]
+
+        def up(f):
+            return jax.image.resize(jnp.asarray(f), (ht, wd, f.shape[-1]),
+                                    "bilinear")
+
+        feats_idx = up(self.state.dino_feats[idx])
+        feats_refs = jnp.stack([up(self.state.dino_feats[j]) for j in refs])
+        self.state.store = kstore.filter_high_err_mono_depth(
+            self.state.store, idx, refs, feats_idx, feats_refs)
+
     def _update_depth_masks(self):
         self.state.store = kstore.update_valid_depth_mask(
             self.state.store, self.state.counter, self.multiview_thresh,
@@ -73,8 +98,12 @@ class Frontend:
             rad=self.frontend_radius, nms=self.frontend_nms,
             thresh=self.frontend_thresh, beta=self.beta, remove=True)
 
-        for _ in range(self.iters1):
+        for itr in range(self.iters1):
             self.graph.update(None, None, use_inactive=True)
+            if (itr == 1 and not self.cfg.get("fast_mode", False)
+                    and self.state.metric_depth_reg
+                    and self.state.uncertainty_aware):
+                self._filter_mono_depth(self.t1 - 1)
 
         d = kstore.distance(self.state.store, self.state.counter,
                             jnp.array([self.t1 - 2]), jnp.array([self.t1 - 1]),

@@ -227,6 +227,71 @@ def update_uncertainties(store: KeyframeStore, uncer_apply, dino_feats,
         uncertainties_inv=store.uncertainties_inv.at[idx].set(inv))
 
 
+def filter_high_err_mono_depth(store: KeyframeStore, idx: int,
+                               ref_frames, dino_feats_idx, dino_feats_refs,
+                               sim_threshold: float = 0.9,
+                               rel_err_threshold: float = 0.02
+                               ) -> KeyframeStore:
+    """Cross-view mono-depth consistency vote (depth_video.py:281-349).
+
+    Project each reference frame's mono depth into frame `idx`; where DINO
+    features match (cosine > 0.9), compare reprojected vs local inverse
+    depth; pixels with <=1 accurate vote and >=1 inaccurate vote get their
+    mono prior masked out.
+
+    dino_feats_idx: (H, W, D) features of frame idx upsampled to pixels;
+    dino_feats_refs: (R, H, W, D) for ref_frames.
+    """
+    ht, wd = store.mono_disps_up.shape[-2:]
+    intr_full = store.intrinsics * 8.0
+    jj = jnp.asarray(ref_frames)
+    R = jj.shape[0]
+
+    # reproject ref-frame pixels into frame idx with their mono depths
+    X0 = projective.iproj(store.mono_disps_up[jj],
+                          jnp.broadcast_to(intr_full, (R, 4)))
+    Gji = lie.se3_mul(store.poses[idx][None], lie.se3_inv(store.poses[jj]))
+    X1 = lie.se3_act4(Gji[:, None, None, :], X0)
+    x1, _ = projective.proj(X1, jnp.broadcast_to(intr_full, (R, 4)),
+                            return_depth=True)
+
+    xi = jnp.round(x1[..., 0]).astype(jnp.int32)
+    yi = jnp.round(x1[..., 1]).astype(jnp.int32)
+    valid = ((xi >= 0) & (xi < wd) & (yi >= 0) & (yi < ht)
+             & (X1[..., 2] > 0) & (store.mono_disps_up[jj] > 0))
+    xi = jnp.clip(xi, 0, wd - 1)
+    yi = jnp.clip(yi, 0, ht - 1)
+
+    fi = dino_feats_idx / jnp.clip(
+        jnp.linalg.norm(dino_feats_idx, axis=-1, keepdims=True), 1e-8)
+    fr = dino_feats_refs / jnp.clip(
+        jnp.linalg.norm(dino_feats_refs, axis=-1, keepdims=True), 1e-8)
+    fi_at = fi[yi, xi]                               # (R, H, W, D)
+    sim = jnp.sum(fr * fi_at, axis=-1)               # (R, H, W)
+    match = valid & (sim > sim_threshold)
+
+    proj_disp = x1[..., 2]                           # reprojected inv depth
+    i_disp = store.mono_disps_up[idx][yi, xi]
+    err = jnp.abs(1.0 / jnp.clip(proj_disp, 1e-8)
+                  - 1.0 / jnp.clip(i_disp, 1e-8)) * proj_disp
+    correct = match & (err < rel_err_threshold)
+    incorrect = match & ~(err < rel_err_threshold)
+
+    # scatter votes into frame idx's pixel grid
+    flat = yi * wd + xi
+    acc = jnp.zeros(ht * wd).at[flat.reshape(R, -1)].add(
+        correct.reshape(R, -1).astype(jnp.float32))
+    inacc = jnp.zeros(ht * wd).at[flat.reshape(R, -1)].add(
+        incorrect.reshape(R, -1).astype(jnp.float32))
+    acc = acc.reshape(ht, wd)
+    inacc = inacc.reshape(ht, wd)
+
+    bad = (acc <= 1) & (inacc > 0) & (store.mono_disps_up[idx] > 0)
+    new_mask = store.mono_mask_up.at[idx].set(
+        store.mono_mask_up[idx] & ~bad)
+    return store._replace(mono_mask_up=new_mask)
+
+
 def normalize(store: KeyframeStore, n_frames: int) -> KeyframeStore:
     """Normalize scale (depth_video.py:185-192)."""
     idx = jnp.arange(store.disps.shape[0])
