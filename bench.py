@@ -17,10 +17,19 @@ throughput at this scene size) for a stable cross-round scale.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# persistent compilation cache: the remote-compile path is slow and has
+# variable queueing; priming the cache makes reruns start in seconds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])

@@ -1,0 +1,95 @@
+"""Full-pipeline smoke test: SLAM.run() on a synthetic TUM-format dataset,
+through run.py's code path (dataset -> tracking -> mapping -> final BA ->
+eval -> artifacts). Uses random DROID weights + synthetic depth priors, so
+trajectory QUALITY is not asserted — the test validates that every subsystem
+executes and produces its artifacts."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from wildgs_slam_tpu.config import load_config
+
+
+def make_tum_scene(root, n=14, H=64, W=80):
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    rgb_lines, depth_lines, gt_lines = [], [], []
+    yy, xx = np.meshgrid(np.arange(H * 2), np.arange(W * 2), indexing="ij")
+    for i in range(n):
+        t = 100.0 + i * 0.1
+        img = np.stack([
+            128 + 100 * np.sin(0.15 * (xx - 4 * i)),
+            128 + 100 * np.cos(0.12 * (yy + 3 * i)),
+            128 + 80 * np.sin(0.08 * (xx + yy - 2 * i)),
+        ], -1).clip(0, 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(root, "rgb", f"{t:.6f}.png"), img)
+        depth = np.full((H * 2, W * 2), 2.0 * 5000, np.uint16)
+        cv2.imwrite(os.path.join(root, "depth", f"{t:.6f}.png"), depth)
+        rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+        depth_lines.append(f"{t:.6f} depth/{t:.6f}.png")
+        gt_lines.append(f"{t:.6f} {0.05*i} 0 0 0 0 0 1")
+    hdr = "# h\n# h\n# h\n"
+    for name, lines in (("rgb.txt", rgb_lines), ("depth.txt", depth_lines),
+                        ("groundtruth.txt", gt_lines)):
+        with open(os.path.join(root, name), "w") as f:
+            f.write(hdr + "\n".join(lines))
+
+
+@pytest.mark.slow
+def test_full_pipeline(tmp_path):
+    H, W = 64, 80
+    root = str(tmp_path / "tum")
+    make_tum_scene(root, n=14, H=H, W=W)
+
+    cfg = load_config("configs/wildgs_slam.yaml")
+    cfg["scene"] = "synthetic"
+    cfg["dataset"] = "tumrgbd"
+    cfg["data"]["input_folder"] = root
+    cfg["data"]["output"] = str(tmp_path / "out")
+    cfg["cam"].update(H=H * 2, W=W * 2, fx=90.0, fy=90.0, cx=W * 1.0,
+                      cy=H * 1.0, H_out=H, W_out=W, H_edge=0, W_edge=0)
+    cfg["fast_mode"] = True
+    t = cfg["tracking"]
+    t["buffer"] = 24
+    t["warmup"] = 4
+    t["force_keyframe_every_n_frames"] = 1  # timestamps step by 0.1
+    t["motion_filter"]["thresh"] = 1e9      # rely on forced keyframes
+    t["frontend"].update(window=6, max_factors=32, enable_loop=False)
+    t["backend"]["ba_freq"] = 100
+    m = cfg["mapping"]
+    m["final_refine_iters"] = 5
+    m["gaussian_capacity"] = 8192
+    m["render_list_capacity"] = 512
+    m["Training"].update(init_itr_num=12, mapping_itr_num=6, window_size=4,
+                         init_gaussian_update=10, init_gaussian_reset=11)
+
+    from wildgs_slam_tpu.slam.system import SLAM
+    from wildgs_slam_tpu.utils.datasets import get_dataset
+
+    stream = get_dataset(cfg)
+    assert len(stream) == 14
+
+    rng = np.random.RandomState(0)
+    depth_fn = lambda im: np.full((H, W), 2.0, np.float32)
+    feat_fn = lambda im: rng.rand(H // 14, W // 14, 384).astype(np.float32)
+
+    # monkeypatch fast_mode final refine to tiny
+    slam = SLAM(cfg, stream, depth_fn=depth_fn, feat_fn=feat_fn)
+    slam.run()
+
+    out = os.path.join(str(tmp_path / "out"), "synthetic")
+    assert os.path.exists(os.path.join(out, "video.npz"))
+    assert os.path.exists(os.path.join(out, "final_gs.ply"))
+    assert os.path.exists(os.path.join(out, "uncertainty_mlp_weight.pkl"))
+    assert os.path.exists(os.path.join(out, "cfg.yaml"))
+    traj_dir = os.path.join(out, "traj")
+    kf_metrics = os.path.join(traj_dir, "kf_traj_metrics.txt")
+    assert os.path.exists(kf_metrics), os.listdir(traj_dir)
+    txt = open(kf_metrics).read()
+    assert "rmse" in txt
+    data = np.load(os.path.join(out, "video.npz"))
+    assert data["poses"].shape[0] >= 4
+    assert np.all(np.isfinite(data["poses"]))

@@ -77,20 +77,38 @@ def bin_gaussians(
         & (y1[None, :] >= ty[:, None])
     )  # (T, N)
 
-    # 3. order-preserving compaction into fixed-capacity lists (prefix sum
-    # as a blocked triangular matmul — MXU instead of a sequential scan)
+    # 3. order-preserving compaction into fixed-capacity lists. The prefix
+    # sum runs as a blocked triangular matmul and the "write id to its rank"
+    # scatter as a chunked one-hot matmul — both MXU work; XLA's scatter
+    # lowering on TPU is serial and dominated the whole rasterizer.
     from ..scanops import cumsum_mxu
 
     pos = cumsum_mxu(mask.astype(jnp.float32), axis=1).astype(jnp.int32) - 1
     counts = jnp.minimum(pos[:, -1] + 1, capacity)
     overflow = jnp.sum(jnp.maximum(pos[:, -1] + 1 - capacity, 0))
 
-    write_pos = jnp.where(mask & (pos < capacity), pos, capacity)  # cap slot = trash
-    src_ids = jnp.broadcast_to(order[None, :].astype(jnp.int32), (n_tiles, N))
+    write_pos = jnp.where(mask & (pos < capacity), pos, capacity)  # cap = trash
+    src_vals = order.astype(jnp.float32) + 1.0  # +1 so empty slots -> 0 -> -1
 
-    ids = jnp.full((n_tiles, capacity + 1), -1, dtype=jnp.int32)
-    ids = jax.vmap(lambda tbl, p, s: tbl.at[p].set(s, mode="drop"))(
-        ids, write_pos, src_ids
-    )[:, :capacity]
+    # ids[t, s] = sum_n onehot(write_pos[t, n] == s) * (order[n] + 1)
+    CHUNK = 512
+    nb = -(-N // CHUNK)
+    padN = nb * CHUNK - N
+    wp = jnp.pad(write_pos, ((0, 0), (0, padN)), constant_values=capacity)
+    sv = jnp.pad(src_vals, (0, padN))
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+
+    def body(acc, c):
+        wp_c = jax.lax.dynamic_slice_in_dim(wp, c * CHUNK, CHUNK, axis=1)
+        sv_c = jax.lax.dynamic_slice_in_dim(sv, c * CHUNK, CHUNK, axis=0)
+        onehot = (wp_c[:, :, None] == slots[None, None, :]).astype(
+            jnp.float32)  # (T, CHUNK, capacity)
+        acc = acc + jnp.einsum("tnc,n->tc", onehot, sv_c,
+                               preferred_element_type=jnp.float32)
+        return acc, None
+
+    ids_f, _ = jax.lax.scan(body, jnp.zeros((n_tiles, capacity)),
+                            jnp.arange(nb))
+    ids = ids_f.astype(jnp.int32) - 1  # empty slots -> -1
 
     return TileBins(ids=ids, counts=counts, overflow=overflow)

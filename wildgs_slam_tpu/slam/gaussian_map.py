@@ -383,6 +383,13 @@ def save_ply(m: GaussianMap, path: str) -> int:
     data = np.concatenate([xyz, normals, f_dc, f_rest, op, scale, rot],
                           axis=1).astype("<f4")
 
+    try:  # native writer (wildgs_slam_tpu/native) when built
+        from ..native import write_ply_native
+
+        if write_ply_native(path, data, names):
+            return n
+    except Exception:
+        pass
     header = ["ply", "format binary_little_endian 1.0",
               f"element vertex {n}"]
     header += [f"property float {nm}" for nm in names]

@@ -243,8 +243,9 @@ class SLAM:
                 print(f"[slam] kf eval failed: {e}")
 
         if cfg["tracking"]["backend"]["final_ba"]:
-            iters = 3000 if cfg.get("fast_mode") else cfg["mapping"][
-                "final_refine_iters"]
+            iters = cfg["mapping"]["final_refine_iters"]
+            if cfg.get("fast_mode"):
+                iters = min(iters, 3000)  # slam.py run_utils fast-mode cap
             self.mapper.final_refine(iters=iters)
 
         if has_gt:

@@ -26,11 +26,18 @@ def _flatten(tree, prefix=""):
     elif hasattr(tree, "_asdict"):
         items = tree._asdict().items()
     else:
-        out[prefix.rstrip("/")] = np.asarray(tree)
+        out[prefix.rstrip("/")] = _to_numpy(tree)
         return out
     for k, v in items:
         out.update(_flatten(v, f"{prefix}{k}/"))
     return out
+
+
+def _to_numpy(x):
+    x = np.asarray(x)
+    if x.dtype.kind == "V" or str(x.dtype) == "bfloat16":
+        x = np.asarray(jnp.asarray(x).astype(jnp.float32))
+    return x
 
 
 def save_slam_checkpoint(path: str, slam) -> None:
@@ -77,7 +84,10 @@ def _unflatten(arrays: Dict[str, np.ndarray], template, prefix=""):
         vals = {k: _unflatten(arrays, v, f"{prefix}{k}/")
                 for k, v in template._asdict().items()}
         return type(template)(**vals)
-    return jnp.asarray(arrays[prefix.rstrip("/")])
+    out = jnp.asarray(arrays[prefix.rstrip("/")])
+    if hasattr(template, "dtype") and out.dtype != template.dtype:
+        out = out.astype(template.dtype)
+    return out
 
 
 def load_slam_checkpoint(path: str, slam) -> None:

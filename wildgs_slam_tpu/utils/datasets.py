@@ -285,6 +285,57 @@ class ScanNet(BaseDataset):
         self.n_img = len(self.color_paths)
 
 
+class PrefetchingStream:
+    """Wrap a dataset with the native prefetching loader
+    (wildgs_slam_tpu/native): worker threads decode + resize frames ahead of
+    the SLAM loop. Falls back transparently when the native library is
+    unavailable or the camera needs undistortion (not implemented natively).
+    """
+
+    def __init__(self, ds: BaseDataset, n_threads: int = 2,
+                 lookahead: int = 4):
+        self.ds = ds
+        self._color_loader = None
+        self._depth_loader = None
+        if ds.distortion is None and ds.color_paths:
+            try:
+                from ..native import FrameLoader
+
+                self._color_loader = FrameLoader(
+                    ds.color_paths, ds.W_out_with_edge, ds.H_out_with_edge,
+                    n_threads=n_threads, lookahead=lookahead)
+                if ds.depth_paths is not None:
+                    self._depth_loader = FrameLoader(
+                        ds.depth_paths, ds.W_out_with_edge,
+                        ds.H_out_with_edge, n_threads=1, is_depth=True,
+                        depth_scale=ds.png_depth_scale, lookahead=lookahead)
+            except Exception:
+                self._color_loader = None
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getattr__(self, name):
+        return getattr(self.ds, name)
+
+    def _crop(self, x):
+        ds = self.ds
+        if ds.W_edge > 0:
+            x = x[:, ds.W_edge:-ds.W_edge]
+        if ds.H_edge > 0:
+            x = x[ds.H_edge:-ds.H_edge]
+        return x
+
+    def __getitem__(self, index):
+        if self._color_loader is None:
+            return self.ds[index]
+        color = self._crop(self._color_loader.get(index))
+        depth = (self._crop(self._depth_loader.get(index))
+                 if self._depth_loader is not None else None)
+        pose = (self.ds.poses[index] if self.ds.poses is not None else None)
+        return index, np.ascontiguousarray(color), depth, pose
+
+
 dataset_dict = {
     "replica": Replica,
     "scannet": ScanNet,
