@@ -90,6 +90,63 @@ def render(
     )
 
 
+def render_pallas(
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    opacities: jax.Array,
+    sh_coeffs: jax.Array,
+    w2c: jax.Array,
+    intrinsics: jax.Array,
+    image_size: tuple[int, int],
+    sh_degree: int = 0,
+    pose_delta: jax.Array | None = None,
+    bg: jax.Array | None = None,
+    capacity: int = 256,
+    chunk: int = 64,
+    scale_modifier: float = 1.0,
+    mean2d_offset: jax.Array | None = None,
+    alive: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> RenderOutput:
+    """Fast path: fused Pallas tile compositing (no n_touched — the mapping
+    hot loop doesn't need it; use render() for covisibility queries)."""
+    from . import pallas_composite as pc
+
+    if bg is None:
+        bg = jnp.zeros(3, dtype=means3d.dtype)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    proj = project_gaussians(
+        means3d, scales, rotations, opacities, sh_coeffs, w2c, intrinsics,
+        image_size, sh_degree=sh_degree, pose_delta=pose_delta,
+        scale_modifier=scale_modifier)
+    valid = proj.valid if alive is None else proj.valid & alive
+    mean2d = proj.mean2d if mean2d_offset is None else proj.mean2d + mean2d_offset
+
+    bins = bin_gaussians(
+        jax.lax.stop_gradient(mean2d), proj.radius,
+        jax.lax.stop_gradient(proj.depth), valid, image_size,
+        capacity=capacity)
+
+    safe_ids = jnp.maximum(bins.ids, 0)
+    tiles = pc.composite_tiles_pallas(
+        binning.num_tiles(image_size)[1], chunk, interpret,
+        bins.counts.astype(jnp.int32),
+        mean2d[safe_ids], proj.conic[safe_ids], proj.color[safe_ids],
+        proj.opacity[safe_ids], proj.depth[safe_ids], bg)
+
+    return RenderOutput(
+        color=untile(tiles.color, image_size),
+        depth=untile(tiles.depth, image_size),
+        alpha=untile(tiles.alpha, image_size),
+        n_touched=jnp.zeros(means3d.shape[0], jnp.int32),
+        radii=jnp.where(valid, proj.radius, 0),
+        overflow=bins.overflow,
+    )
+
+
 def render_reference(
     means3d, scales, rotations, opacities, sh_coeffs, w2c, intrinsics,
     image_size, sh_degree=0, pose_delta=None, bg=None, alive=None,
@@ -115,6 +172,7 @@ def render_reference(
     col = proj.color[order]
     op = jnp.where(valid, proj.opacity, 0.0)[order]
     dep = proj.depth[order]
+    rad = proj.radius[order].astype(jnp.float32)
 
     y, x = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                         jnp.arange(W, dtype=jnp.float32), indexing="ij")
@@ -127,6 +185,18 @@ def render_reference(
              - c[None, :, 1] * dx * dy)
     alpha = jnp.minimum(0.99, op[None, :] * jnp.exp(power))
     alpha = jnp.where((power > 0) | (alpha < 1.0 / 255.0), 0.0, alpha)
+    # tile-granular 3-sigma bbox truncation, exactly as the CUDA rasterizer
+    # (and our tiled path) bins gaussians: a pixel only sees gaussians whose
+    # radius bbox intersects its TILE
+    tx = jnp.floor(px / TILE)
+    ty = jnp.floor(py / TILE)
+    in_bbox = (
+        (jnp.floor((m[None, :, 0] - rad[None, :]) / TILE) <= tx)
+        & (jnp.floor((m[None, :, 0] + rad[None, :]) / TILE) >= tx)
+        & (jnp.floor((m[None, :, 1] - rad[None, :]) / TILE) <= ty)
+        & (jnp.floor((m[None, :, 1] + rad[None, :]) / TILE) >= ty)
+    )
+    alpha = jnp.where(in_bbox, alpha, 0.0)
 
     t_incl = jnp.cumprod(1.0 - alpha, axis=1)
     t_before = jnp.concatenate([jnp.ones_like(t_incl[:, :1]), t_incl[:, :-1]],
