@@ -35,7 +35,7 @@ import jax.numpy as jnp
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 from wildgs_slam_tpu.ops import lie
-from wildgs_slam_tpu.ops.rasterizer import render
+from wildgs_slam_tpu.ops.rasterizer import render_pallas as render
 
 N_GAUSS = 5000
 H, W = 240, 320
@@ -65,7 +65,7 @@ def main():
 
     def loss_fn(means, scales, opac, pose_delta):
         out = render(means, scales, rots, opac, sh, w2c, intr, (H, W),
-                     pose_delta=pose_delta, capacity=1024, chunk=128)
+                     pose_delta=pose_delta, capacity=256, chunk=64)
         return jnp.mean((out.color - target) ** 2) + 0.01 * jnp.mean(
             out.depth ** 2)
 

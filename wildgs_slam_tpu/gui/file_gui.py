@@ -1,0 +1,82 @@
+"""File-based live GUI: PNG panels + auto-refreshing index page.
+
+Plays the role of the reference's slam_gui process (src/gui/slam_gui.py):
+the mapper emits GaussianPacket snapshots; here each packet becomes a set of
+rendered panels on disk that a browser displays live.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>wildgs_slam_tpu live</title>
+<meta http-equiv="refresh" content="2">
+<style>body{background:#111;color:#eee;font-family:monospace}
+img{max-width:46vw;margin:4px;border:1px solid #333}</style></head>
+<body><h3>wildgs_slam_tpu — live view (auto-refresh 2s)</h3>
+<div><img src="render.png?r={r}"><img src="depth.png?r={r}"></div>
+<div><img src="uncertainty.png?r={r}"><img src="traj.png?r={r}"></div>
+<p>{status}</p></body></html>
+"""
+
+
+@dataclass
+class GaussianPacket:
+    """Snapshot handed from the mapper to the GUI (gui_utils.py:86-190)."""
+
+    frame_idx: int
+    gt_color: np.ndarray                       # (H, W, 3)
+    rendered_color: np.ndarray                 # (H, W, 3)
+    rendered_depth: np.ndarray                 # (H, W)
+    uncertainty: Optional[np.ndarray] = None   # (h', w')
+    traj_xyz: Optional[np.ndarray] = None      # (N, 3) keyframe centers
+    window: list = field(default_factory=list)
+    n_gaussians: int = 0
+
+
+class FileGui:
+    def __init__(self, out_dir: str):
+        self.dir = os.path.join(out_dir, "gui")
+        os.makedirs(self.dir, exist_ok=True)
+        self._rev = 0
+
+    def push(self, pkt: GaussianPacket):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        def save_img(name, arr, cmap=None):
+            fig, ax = plt.subplots(figsize=(6, 4.5))
+            ax.imshow(np.clip(np.asarray(arr), 0, 1) if cmap is None
+                      else np.asarray(arr), cmap=cmap)
+            ax.set_xticks([]), ax.set_yticks([])
+            fig.tight_layout(pad=0.1)
+            fig.savefig(os.path.join(self.dir, name), dpi=90)
+            plt.close(fig)
+
+        side = np.concatenate([pkt.gt_color, pkt.rendered_color], axis=1)
+        save_img("render.png", side)
+        save_img("depth.png", pkt.rendered_depth, cmap="plasma")
+        if pkt.uncertainty is not None:
+            save_img("uncertainty.png", pkt.uncertainty, cmap="jet")
+        if pkt.traj_xyz is not None and len(pkt.traj_xyz):
+            fig, ax = plt.subplots(figsize=(6, 4.5))
+            xyz = np.asarray(pkt.traj_xyz)
+            ax.plot(xyz[:, 0], xyz[:, 2], "c.-", ms=3)
+            ax.plot(xyz[-1, 0], xyz[-1, 2], "ro")
+            ax.set_aspect("equal")
+            ax.set_title("trajectory (top view)")
+            fig.savefig(os.path.join(self.dir, "traj.png"), dpi=90)
+            plt.close(fig)
+
+        self._rev += 1
+        status = (f"frame {pkt.frame_idx} · window {pkt.window} · "
+                  f"{pkt.n_gaussians} gaussians")
+        with open(os.path.join(self.dir, "index.html"), "w") as f:
+            f.write(_INDEX_HTML.replace("{r}", str(self._rev))
+                    .replace("{status}", status))

@@ -82,160 +82,193 @@ def _chunk_alpha(mean, conic, opc, live, px, py):
 
 def _fwd_kernel(counts_ref, mean_ref, conic_ref, color_ref, op_ref, depth_ref,
                 bg_ref, color_out, depth_out, alpha_out, tfin_out,
-                tentry_out, *, ck, n_chunks, tw):
-    t = pl.program_id(0)
+                tentry_out, T_s, Tc_s, rgb_s, dep_s, acc_s,
+                *, ck, n_chunks, tw, g_tiles):
+    step = pl.program_id(0)
+    L = _tri(ck, strict=False)
+    for g in range(g_tiles):
+        _fwd_one_tile(step * g_tiles + g, g, counts_ref, mean_ref, conic_ref,
+                      color_ref, op_ref, depth_ref, bg_ref, color_out,
+                      depth_out, alpha_out, tfin_out, tentry_out, T_s, Tc_s,
+                      rgb_s, dep_s, acc_s, L, ck=ck, n_chunks=n_chunks,
+                      tw=tw)
+
+
+def _fwd_one_tile(t, g, counts_ref, mean_ref, conic_ref, color_ref, op_ref,
+                  depth_ref, bg_ref, color_out, depth_out, alpha_out,
+                  tfin_out, tentry_out, T_s, Tc_s, rgb_s, dep_s, acc_s, L,
+                  *, ck, n_chunks, tw):
     count = counts_ref[t]
     px, py = _pixel_coords(t, tw)
-    L = _tri(ck, strict=False)
 
-    def body(carry):
-        c, T, Tcomm, rgb, dep, acc = carry
-        tentry_out[0, c, :] = T[0]
-        sl = pl.ds(c * ck, ck)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (ck, 1), 0)
-        live = (c * ck + idx) < count                     # (CK, 1)
-        opc = jnp.transpose(op_ref[0, 0:1, sl])           # (CK, 1)
-        alpha = _chunk_alpha(mean_ref[0, sl, :], conic_ref[0, sl, :],
-                             opc, live, px, py)
-        lg = jnp.log(jnp.maximum(1.0 - alpha, _ONE_M_MIN))
-        t_incl = jnp.exp(jnp.dot(L, lg, preferred_element_type=jnp.float32))
-        t_after = T * t_incl                              # (CK, P)
-        t_before = t_after / jnp.maximum(1.0 - alpha, _ONE_M_MIN)
-        contrib = (t_after >= _T_EPS).astype(jnp.float32)
-        w = alpha * t_before * contrib                    # (CK, P)
+    T_s[...] = jnp.ones((1, P))
+    Tc_s[...] = jnp.full((1, P), jnp.inf)
+    rgb_s[...] = jnp.zeros((P, 3))
+    dep_s[...] = jnp.zeros((1, P))
+    acc_s[...] = jnp.zeros((1, P))
 
-        rgb = rgb + jnp.dot(w.T, color_ref[0, sl, :],
-                            preferred_element_type=jnp.float32)   # (P, 3)
-        dpc = jnp.transpose(depth_ref[0, 0:1, sl])        # (CK, 1)
-        dep = dep + jnp.sum(w * dpc, axis=0, keepdims=True)
-        acc = acc + jnp.sum(w, axis=0, keepdims=True)
+    for c in range(n_chunks):  # static unroll; @pl.when does the early exit
+        tentry_out[g, c, :] = T_s[0, :]
 
-        cand = jnp.where(t_after >= _T_EPS, t_after, jnp.inf)
-        Tcomm = jnp.minimum(Tcomm, jnp.min(cand, axis=0, keepdims=True))
-        T = t_after[ck - 1:ck, :]
-        return c + 1, T, Tcomm, rgb, dep, acc
+        @pl.when((c * ck < count) & (jnp.max(T_s[...]) >= _T_EPS))
+        def _():
+            sl = slice(c * ck, (c + 1) * ck)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (ck, 1), 0)
+            live = (c * ck + idx) < count                 # (CK, 1)
+            opc = op_ref[g, sl, :]                        # (CK, 1)
+            alpha = _chunk_alpha(mean_ref[g, sl, :], conic_ref[g, sl, :],
+                                 opc, live, px, py)
+            lg = jnp.log(jnp.maximum(1.0 - alpha, _ONE_M_MIN))
+            t_incl = jnp.exp(jnp.dot(L, lg,
+                                     preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST))
+            T = T_s[...]
+            t_after = T * t_incl                          # (CK, P)
+            t_before = t_after / jnp.maximum(1.0 - alpha, _ONE_M_MIN)
+            contrib = (t_after >= _T_EPS).astype(jnp.float32)
+            w = alpha * t_before * contrib                # (CK, P)
 
-    def cond(carry):
-        c, T, *_ = carry
-        return (c * ck < count) & (c < n_chunks) & (jnp.max(T) >= _T_EPS)
+            rgb_s[...] += jnp.dot(w.T, color_ref[g, sl, :],
+                                  preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            dpc = depth_ref[g, sl, :]                     # (CK, 1)
+            dep_s[...] += jnp.sum(w * dpc, axis=0, keepdims=True)
+            acc_s[...] += jnp.sum(w, axis=0, keepdims=True)
 
-    init = (jnp.int32(0), jnp.ones((1, P)), jnp.full((1, P), jnp.inf),
-            jnp.zeros((P, 3)), jnp.zeros((1, P)), jnp.zeros((1, P)))
-    c_end, T, Tcomm, rgb, dep, acc = jax.lax.while_loop(cond, body, init)
+            cand = jnp.where(t_after >= _T_EPS, t_after, jnp.inf)
+            Tc_s[...] = jnp.minimum(Tc_s[...],
+                                    jnp.min(cand, axis=0, keepdims=True))
+            T_s[...] = t_after[ck - 1:ck, :]
 
-    # chunks never entered still need a defined T_entry (= current T)
-    def fill(carry):
-        c, = carry
-        tentry_out[0, c, :] = T[0]
-        return (c + 1,)
-
-    jax.lax.while_loop(lambda s: s[0] < n_chunks, fill, (c_end,))
-
-    Tfin = jnp.where(jnp.isinf(Tcomm), T, Tcomm)          # (1, P)
-    color_out[0] = rgb + jnp.transpose(Tfin) * bg_ref[0]
-    depth_out[0] = dep
-    alpha_out[0] = acc
-    tfin_out[0] = Tfin
+    T = T_s[...]
+    Tfin = jnp.where(jnp.isinf(Tc_s[...]), T, Tc_s[...])  # (1, P)
+    color_out[g] = rgb_s[...] + jnp.transpose(Tfin) * bg_ref[0]
+    depth_out[g] = dep_s[...]
+    alpha_out[g] = acc_s[...]
+    tfin_out[g] = Tfin
 
 
 def _bwd_kernel(counts_ref, mean_ref, conic_ref, color_ref, op_ref, depth_ref,
                 bg_ref, tentry_ref, tfin_ref, gc_ref, gd_ref, ga_ref, gt_ref,
                 dmean_out, dconic_out, dcolor_out, dop_out, ddepth_out,
-                *, ck, n_chunks, tw):
-    t = pl.program_id(0)
-    count = counts_ref[t]
-    px, py = _pixel_coords(t, tw)
+                S_s, *, ck, n_chunks, tw, g_tiles):
+    step = pl.program_id(0)
     L = _tri(ck, strict=False)
     U = _triu_strict(ck)
+    for g in range(g_tiles):
+        # pallas outputs are uninitialized; inactive chunks must be zero
+        dmean_out[g] = jnp.zeros_like(dmean_out[g])
+        dconic_out[g] = jnp.zeros_like(dconic_out[g])
+        dcolor_out[g] = jnp.zeros_like(dcolor_out[g])
+        dop_out[g] = jnp.zeros_like(dop_out[g])
+        ddepth_out[g] = jnp.zeros_like(ddepth_out[g])
+    for g in range(g_tiles):
+        _bwd_one_tile(step * g_tiles + g, g, counts_ref, mean_ref, conic_ref,
+                      color_ref, op_ref, depth_ref, bg_ref, tentry_ref,
+                      tfin_ref, gc_ref, gd_ref, ga_ref, gt_ref, dmean_out,
+                      dconic_out, dcolor_out, dop_out, ddepth_out, S_s, L, U,
+                      ck=ck, n_chunks=n_chunks, tw=tw)
 
-    # pallas outputs are uninitialized; chunks skipped below must be zero
-    dmean_out[0] = jnp.zeros_like(dmean_out[0])
-    dconic_out[0] = jnp.zeros_like(dconic_out[0])
-    dcolor_out[0] = jnp.zeros_like(dcolor_out[0])
-    dop_out[0] = jnp.zeros_like(dop_out[0])
-    ddepth_out[0] = jnp.zeros_like(ddepth_out[0])
 
-    gc = gc_ref[0]                 # (P, 3)
-    gd = gd_ref[0]                 # (1, P)
-    ga = ga_ref[0]                 # (1, P)
-    gt = gt_ref[0]                 # (1, P)
-    Tfin = tfin_ref[0]             # (1, P)
+def _bwd_one_tile(t, g, counts_ref, mean_ref, conic_ref, color_ref, op_ref,
+                  depth_ref, bg_ref, tentry_ref, tfin_ref, gc_ref, gd_ref,
+                  ga_ref, gt_ref, dmean_out, dconic_out, dcolor_out, dop_out,
+                  ddepth_out, S_s, L, U, *, ck, n_chunks, tw):
+    count = counts_ref[t]
+    px, py = _pixel_coords(t, tw)
+
+    gc = gc_ref[g]                 # (P, 3)
+    gd = gd_ref[g]                 # (1, P)
+    ga = ga_ref[g]                 # (1, P)
+    gt = gt_ref[g]                 # (1, P)
+    Tfin = tfin_ref[g]             # (1, P)
     bg = bg_ref[0]                 # (1, 3)
     # B: gradient flowing into every committed alpha through T_final
     B = Tfin * (jnp.transpose(
         jnp.dot(gc, jnp.transpose(bg),
-                preferred_element_type=jnp.float32)) + gt)  # (1, P)
+                preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)) + gt)  # (1, P)
 
-    n_active = jnp.minimum((count + ck - 1) // ck, n_chunks)
+    S_s[...] = jnp.zeros((1, P))
 
-    def body(carry):
-        i, S = carry                      # S (1, P): suffix from later chunks
-        c = n_active - 1 - i
-        sl = pl.ds(c * ck, ck)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (ck, 1), 0)
-        live = (c * ck + idx) < count
-        mean = mean_ref[0, sl, :]
-        conic = conic_ref[0, sl, :]
-        opc = jnp.transpose(op_ref[0, 0:1, sl])           # (CK, 1)
-        colr = color_ref[0, sl, :]
-        dpc = jnp.transpose(depth_ref[0, 0:1, sl])        # (CK, 1)
+    for c in range(n_chunks - 1, -1, -1):  # static reverse unroll
+        sl = slice(c * ck, (c + 1) * ck)
+        active = c * ck < count
 
-        dx = mean[:, 0:1] - px
-        dy = mean[:, 1:2] - py
-        power = (-0.5 * (conic[:, 0:1] * dx * dx + conic[:, 2:3] * dy * dy)
-                 - conic[:, 1:2] * dx * dy)
-        G = jnp.exp(power)
-        raw = opc * G
-        alpha = jnp.minimum(0.99, raw)
-        dead = (power > 0) | (alpha < _ALPHA_MIN) | ~live
-        alpha = jnp.where(dead, 0.0, alpha)
+        @pl.when(active)
+        def _():
+            idx = jax.lax.broadcasted_iota(jnp.int32, (ck, 1), 0)
+            live = (c * ck + idx) < count
+            mean = mean_ref[g, sl, :]
+            conic = conic_ref[g, sl, :]
+            opc = op_ref[g, sl, :]                        # (CK, 1)
+            colr = color_ref[g, sl, :]
+            dpc = depth_ref[g, sl, :]                     # (CK, 1)
 
-        T0 = tentry_ref[0, pl.ds(c, 1), :]                # (1, P)
-        lg = jnp.log(jnp.maximum(1.0 - alpha, _ONE_M_MIN))
-        t_incl = jnp.exp(jnp.dot(L, lg, preferred_element_type=jnp.float32))
-        t_after = T0 * t_incl
-        one_m = jnp.maximum(1.0 - alpha, _ONE_M_MIN)
-        t_before = t_after / one_m
-        contrib = (t_after >= _T_EPS).astype(jnp.float32)
-        w = alpha * t_before * contrib
+            dx = mean[:, 0:1] - px
+            dy = mean[:, 1:2] - py
+            power = (-0.5 * (conic[:, 0:1] * dx * dx
+                             + conic[:, 2:3] * dy * dy)
+                     - conic[:, 1:2] * dx * dy)
+            G = jnp.exp(power)
+            raw = opc * G
+            alpha = jnp.minimum(0.99, raw)
+            dead = (power > 0) | (alpha < _ALPHA_MIN) | ~live
+            alpha = jnp.where(dead, 0.0, alpha)
 
-        # per-element pixel score g_k
-        g = (jnp.dot(colr, gc.T, preferred_element_type=jnp.float32)
-             + dpc * gd + ga)                             # (CK, P)
-        wg = w * g
-        S_k = jnp.dot(U, wg, preferred_element_type=jnp.float32) + S
+            T0 = tentry_ref[g, c:c + 1, :]                # (1, P) static c
+            lg = jnp.log(jnp.maximum(1.0 - alpha, _ONE_M_MIN))
+            t_incl = jnp.exp(jnp.dot(L, lg,
+                                     preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST))
+            t_after = T0 * t_incl
+            one_m = jnp.maximum(1.0 - alpha, _ONE_M_MIN)
+            t_before = t_after / one_m
+            contrib = (t_after >= _T_EPS).astype(jnp.float32)
+            w = alpha * t_before * contrib
 
-        dalpha = t_before * g * contrib - (S_k + B * contrib) / one_m
-        dalpha = jnp.where(dead | (raw >= 0.99), 0.0, dalpha)
+            gsc = (jnp.dot(colr, gc.T, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+                   + dpc * gd + ga)                       # (CK, P)
+            wg = w * gsc
+            S_k = jnp.dot(U, wg, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST) + S_s[...]
 
-        dop = jnp.sum(dalpha * G, axis=1, keepdims=True)   # (CK, 1)
-        dG = dalpha * opc
-        dpow = dG * G
-        da = -0.5 * jnp.sum(dpow * dx * dx, axis=1, keepdims=True)
-        db = -jnp.sum(dpow * dx * dy, axis=1, keepdims=True)
-        dc_ = -0.5 * jnp.sum(dpow * dy * dy, axis=1, keepdims=True)
-        ddx = dpow * (-(conic[:, 0:1] * dx + conic[:, 1:2] * dy))
-        ddy = dpow * (-(conic[:, 2:3] * dy + conic[:, 1:2] * dx))
-        dmx = jnp.sum(ddx, axis=1, keepdims=True)
-        dmy = jnp.sum(ddy, axis=1, keepdims=True)
+            dalpha = (t_before * gsc * contrib
+                      - (S_k + B * contrib) / one_m)
+            dalpha = jnp.where(dead | (raw >= 0.99), 0.0, dalpha)
 
-        dcol = jnp.dot(w, gc, preferred_element_type=jnp.float32)  # (CK, 3)
-        ddep = jnp.sum(w * gd, axis=1, keepdims=True)      # (CK, 1)
+            dop = jnp.sum(dalpha * G, axis=1, keepdims=True)   # (CK, 1)
+            dG = dalpha * opc
+            dpow = dG * G
+            da = -0.5 * jnp.sum(dpow * dx * dx, axis=1, keepdims=True)
+            db = -jnp.sum(dpow * dx * dy, axis=1, keepdims=True)
+            dc_ = -0.5 * jnp.sum(dpow * dy * dy, axis=1, keepdims=True)
+            ddx = dpow * (-(conic[:, 0:1] * dx + conic[:, 1:2] * dy))
+            ddy = dpow * (-(conic[:, 2:3] * dy + conic[:, 1:2] * dx))
+            dmx = jnp.sum(ddx, axis=1, keepdims=True)
+            dmy = jnp.sum(ddy, axis=1, keepdims=True)
 
-        dmean_out[0, sl, :] = jnp.concatenate([dmx, dmy], axis=1)
-        dconic_out[0, sl, :] = jnp.concatenate([da, db, dc_], axis=1)
-        dcolor_out[0, sl, :] = dcol
-        dop_out[0, 0:1, sl] = jnp.transpose(dop)
-        ddepth_out[0, 0:1, sl] = jnp.transpose(ddep)
+            dcol = jnp.dot(w, gc, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            ddep = jnp.sum(w * gd, axis=1, keepdims=True)
 
-        S = S + jnp.sum(wg, axis=0, keepdims=True)
-        return i + 1, S
+            dmean_out[g, sl, :] = jnp.concatenate([dmx, dmy], axis=1)
+            dconic_out[g, sl, :] = jnp.concatenate([da, db, dc_], axis=1)
+            dcolor_out[g, sl, :] = dcol
+            dop_out[g, sl, :] = dop
+            ddepth_out[g, sl, :] = ddep
 
-    def cond(carry):
-        i, _ = carry
-        return i < n_active
+            S_s[...] += jnp.sum(wg, axis=0, keepdims=True)
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.zeros((1, P))))
+        @pl.when(~active)
+        def _():
+            zc1 = jnp.zeros((ck, 1))
+            dmean_out[g, sl, :] = jnp.zeros((ck, 2))
+            dconic_out[g, sl, :] = jnp.zeros((ck, 3))
+            dcolor_out[g, sl, :] = jnp.zeros((ck, 3))
+            dop_out[g, sl, :] = zc1
+            ddepth_out[g, sl, :] = zc1
 
 
 class PallasTiles(NamedTuple):
@@ -243,6 +276,20 @@ class PallasTiles(NamedTuple):
     depth: jax.Array    # (T, P)
     alpha: jax.Array    # (T, P)
     tfin: jax.Array     # (T, P)
+
+
+G_TILES = 8  # tiles per grid step (amortizes per-step overhead)
+
+
+def _pad_tiles(arrs, T, G):
+    Tp = -(-T // G) * G
+    if Tp == T:
+        return arrs, T
+    out = []
+    for a in arrs:
+        pad = [(0, Tp - T)] + [(0, 0)] * (a.ndim - 1)
+        out.append(jnp.pad(a, pad))
+    return out, Tp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -257,42 +304,53 @@ def _fwd_impl(tw, ck, interpret, counts, mean, conic, color, op, depth, bg):
     T, K = mean.shape[:2]
     n_chunks = K // ck
     assert n_chunks * ck == K
+    G = G_TILES
+    (counts_p, mean_p, conic_p, color_p, op_p, depth_p), Tp = _pad_tiles(
+        [counts, mean, conic, color, op, depth], T, G)
 
-    kern = functools.partial(_fwd_kernel, ck=ck, n_chunks=n_chunks, tw=tw)
+    kern = functools.partial(_fwd_kernel, ck=ck, n_chunks=n_chunks, tw=tw,
+                             g_tiles=G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(Tp // G,),
         in_specs=[
-            pl.BlockSpec((1, K, 2), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, K, 3), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, K, 3), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 1, K), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 1, K), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 2), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 3), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 3), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 1), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 1), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((1, 3), lambda t, c: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, P, 3), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, n_chunks, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, P, 3), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, 1, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, 1, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, 1, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, n_chunks, P), lambda t, c: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((P, 3), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
         ],
     )
     outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, P, 3), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
-            jax.ShapeDtypeStruct((T, n_chunks, P), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, P, 3), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, n_chunks, P), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, mean, conic, color, op[:, None, :], depth[:, None, :],
-      bg[None, :])
+    )(counts_p, mean_p, conic_p, color_p, op_p[:, :, None],
+      depth_p[:, :, None], bg[None, :])
     colr, dep, acc, tfin, tentry = outs
-    return PallasTiles(colr, dep[:, 0], acc[:, 0], tfin[:, 0]), tentry
+    return PallasTiles(colr[:T], dep[:T, 0], acc[:T, 0], tfin[:T, 0]), tentry
 
 
 def _vjp_fwd(tw, ck, interpret, counts, mean, conic, color, op, depth, bg):
@@ -307,51 +365,62 @@ def _vjp_bwd(tw, ck, interpret, res, cot):
     gc, gd, ga, gt = cot
     T, K = mean.shape[:2]
     n_chunks = K // ck
+    G = G_TILES
+    (counts_p, mean_p, conic_p, color_p, op_p, depth_p, gc_p, gd_p, ga_p,
+     gt_p, tfin_p), Tp = _pad_tiles(
+        [counts, mean, conic, color, op, depth, gc, gd, ga, gt, tfin], T, G)
+    # tentry was produced padded by _fwd_impl
+    tentry_p = tentry
 
-    kern = functools.partial(_bwd_kernel, ck=ck, n_chunks=n_chunks, tw=tw)
+    kern = functools.partial(_bwd_kernel, ck=ck, n_chunks=n_chunks, tw=tw,
+                             g_tiles=G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(Tp // G,),
         in_specs=[
-            pl.BlockSpec((1, K, 2), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, K, 3), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, K, 3), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 1, K), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 1, K), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 2), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 3), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 3), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 1), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 1), lambda t, c: (t, 0, 0)),
             pl.BlockSpec((1, 3), lambda t, c: (0, 0)),
-            pl.BlockSpec((1, n_chunks, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, P, 3), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, n_chunks, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, 1, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, P, 3), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, 1, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, 1, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, 1, P), lambda t, c: (t, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, K, 2), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, K, 3), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, K, 3), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 1, K), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((1, 1, K), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 2), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 3), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 3), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 1), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, 1), lambda t, c: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, P), jnp.float32),
         ],
     )
     douts = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, K, 2), jnp.float32),
-            jax.ShapeDtypeStruct((T, K, 3), jnp.float32),
-            jax.ShapeDtypeStruct((T, K, 3), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, K), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, K), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, K, 2), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, K, 3), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, K, 3), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, K, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, K, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, mean, conic, color, op[:, None, :], depth[:, None, :],
-      bg[None, :], tentry, tfin[:, None, :], gc, gd[:, None, :],
-      ga[:, None, :], gt[:, None, :])
+    )(counts_p, mean_p, conic_p, color_p, op_p[:, :, None],
+      depth_p[:, :, None], bg[None, :], tentry_p, tfin_p[:, None, :], gc_p,
+      gd_p[:, None, :], ga_p[:, None, :], gt_p[:, None, :])
     dmean, dconic, dcolor, dop, ddepth = douts
 
     dbg = jnp.einsum("tp,tpc->c", tfin, gc)
-    return (None, dmean, dconic, dcolor, dop[:, 0], ddepth[:, 0], dbg)
+    return (None, dmean[:T], dconic[:T], dcolor[:T], dop[:T, :, 0],
+            ddepth[:T, :, 0], dbg)
 
 
 composite_tiles_pallas.defvjp(_vjp_fwd, _vjp_bwd)

@@ -31,7 +31,8 @@ def cumsum_mxu(x: jax.Array, axis: int, inclusive: bool = True,
     if K <= block:
         L = jnp.asarray(_lower_tri(K, inclusive))
         out = jnp.einsum("kj,...j->...k", L, x,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
     else:
         nb = -(-K // block)
         pad = nb * block - K
@@ -39,7 +40,8 @@ def cumsum_mxu(x: jax.Array, axis: int, inclusive: bool = True,
         xb = xp.reshape(*lead, nb, block)
         L = jnp.asarray(_lower_tri(block, inclusive))
         within = jnp.einsum("kj,...bj->...bk", L, xb,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         block_sums = xb.sum(-1)
         offsets = jnp.cumsum(block_sums, axis=-1) - block_sums  # (..., nb)
         out = (within + offsets[..., None]).reshape(*lead, nb * block)[..., :K]

@@ -24,6 +24,7 @@ mirrored by reset_exposure_adam on window views.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, List
 
@@ -33,7 +34,15 @@ import numpy as np
 
 from ..models.uncertainty import UncertaintyMLP
 from ..ops import lie
-from ..ops.rasterizer import render
+from ..ops.rasterizer import render, render_pallas
+
+
+def _fast_render(*args, **kwargs):
+    """Pallas fused path on TPU (no n_touched — the optimization loop doesn't
+    use it); XLA path elsewhere (pallas interpret mode is slow on CPU)."""
+    if jax.default_backend() == "tpu":
+        return render_pallas(*args, **kwargs)
+    return render(*args, **kwargs)
 from . import gaussian_map as gm
 from . import keyframe_store as kstore
 from . import losses, pcd, viewpoints
@@ -108,7 +117,7 @@ def _opt_segment(gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count,
 
     def loss_fn(params, exposure, u_params, mean2d_offset, idx, freeze,
                 d_base, d_samples):
-        out = render(
+        out = _fast_render(
             params.xyz, gm.get_scaling(params), gm.get_rotation_xyzw(params),
             gm.get_opacity(params), gm.get_sh(params), vstore.w2c[idx],
             intrinsics, image_size, alive=gmap.aux.alive, capacity=capacity,
@@ -360,6 +369,14 @@ class Mapper:
         self.video_idxs: List[int] = []
         self.frame_idxs: List[int] = []
         self.cam_w2c_old: Dict[int, jax.Array] = {}
+
+        self.gui = None
+        if cfg.get("gui", False):
+            from ..gui import FileGui
+
+            out = cfg.get("data", {}).get("output", "./output")
+            self.gui = FileGui(os.path.join(out, str(cfg.get("scene",
+                                                             "scene"))))
 
     # ------------------------------------------------------------------
     # viewpoint creation (mapper.py:302-363)
@@ -641,6 +658,8 @@ class Mapper:
                                     iters=self.mapping_itr_num)
         if split:
             self.map_opt_online(self.current_window, iters=1)
+        if self.gui is not None:
+            self._send_to_gui(video_idx)
 
     def refine_pose_non_key_frame(self, color, w2c_init, features=None):
         """Refine a non-keyframe pose against the current map
@@ -664,6 +683,34 @@ class Mapper:
             64, self.mc["Training"]["lr"]["cam_rot_delta"],
             self.mc["Training"]["lr"]["cam_trans_delta"],
             self.mc["Training"]["rgb_boundary_threshold"])
+
+    def _send_to_gui(self, video_idx):
+        """Emit a GaussianPacket snapshot (mapper.py:708-729)."""
+        from ..gui import GaussianPacket
+
+        out = _render_view(self.gaussians.params, self.gaussians.aux.alive,
+                           self.vstore.w2c[video_idx], self.intrinsics_full,
+                           self.image_size, self.render_list_capacity, 64)
+        unc = None
+        if self.uncertainty_aware:
+            sigma = UncertaintyMLP(
+                in_dim=self.mc["uncertainty_params"]["feature_dim"]).apply(
+                self.uncer_params,
+                self.vstore.features[video_idx].astype(jnp.float32))
+            unc = np.asarray(sigma)
+        kfs = [v for v in self.video_idxs if self.is_kf.get(v, False)]
+        traj = np.asarray(
+            jax.vmap(lie.se3_inv)(self.vstore.w2c[jnp.asarray(kfs)])[:, :3]
+        ) if kfs else None
+        self.gui.push(GaussianPacket(
+            frame_idx=video_idx,
+            gt_color=np.asarray(self.vstore.colors[video_idx],
+                                dtype=np.float32),
+            rendered_color=np.asarray(out.color),
+            rendered_depth=np.asarray(out.depth),
+            uncertainty=unc, traj_xyz=traj,
+            window=list(self.current_window),
+            n_gaussians=int(gm.num_alive(self.gaussians))))
 
     # ------------------------------------------------------------------
     # keyframe re-sync + deformation (mapper.py:365-429)
@@ -713,7 +760,7 @@ def _refine_pose_core(params, alive, w2c0, gt_color, grad_mask, uncer_pix,
     iteration with persistent Adam moments; converged when |delta| < 1e-4."""
 
     def loss_fn(delta, exposure, w2c):
-        out = render(
+        out = _fast_render(
             params.xyz, gm.get_scaling(params), gm.get_rotation_xyzw(params),
             gm.get_opacity(params), gm.get_sh(params), w2c, intrinsics,
             image_size, alive=alive, capacity=capacity, chunk=chunk,

@@ -259,6 +259,14 @@ class SLAM:
         n = gm.save_ply(self.mapper.gaussians,
                         os.path.join(self.save_dir, "final_gs.ply"))
         print(f"[slam] saved {n} gaussians")
+        try:
+            from ..gui.html_viewer import export_viewer_from_map
+
+            export_viewer_from_map(
+                os.path.join(self.save_dir, "map_viewer.html"),
+                self.mapper.gaussians)
+        except Exception as e:
+            print(f"[slam] viewer export failed: {e}")
 
         if self.uncertainty_aware:
             import pickle
