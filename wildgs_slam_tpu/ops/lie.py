@@ -351,6 +351,80 @@ def sim3_act4(g: jax.Array, p: jax.Array) -> jax.Array:
     return jnp.concatenate([out, w], axis=-1)
 
 
+def sim3_exp(xi: jax.Array) -> jax.Array:
+    """sim(3) tangent (..., 7) = (tau, phi, sigma) -> Sim3 8-vector.
+
+    Uses the similarity-transform left Jacobian W(phi, sigma) with
+    t = W tau, s = exp(sigma) (standard Sim3 exponential; see e.g.
+    Strasdat's thesis / lietorch sim3 kernels)."""
+    tau, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    q = so3_exp_quat(phi)
+    s = jnp.exp(sigma)
+
+    theta_sq = jnp.sum(phi * phi, axis=-1)
+    theta = jnp.sqrt(theta_sq + _EPS * _EPS)
+    Phi = skew(phi)
+    Phi2 = Phi @ Phi
+    I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), Phi.shape)
+
+    # W = A I + B Phi + C Phi^2; four regimes (theta, sigma small/large)
+    eps = 1e-4
+    small_s = jnp.abs(sigma) < eps
+    small_t = theta_sq < 1e-8
+    sig_safe = jnp.where(small_s, 1.0, sigma)
+    th_safe = jnp.where(small_t, 1.0, theta)
+
+    A = jnp.where(small_s, 1.0 + sigma / 2.0 + sigma * sigma / 6.0,
+                  (s - 1.0) / sig_safe)
+
+    # theta large (any sigma): the general formulas are sigma-regular
+    denom = sigma * sigma + th_safe * th_safe
+    B_full = (s * jnp.sin(th_safe) * sigma
+              + (1.0 - s * jnp.cos(th_safe)) * th_safe) / (th_safe * denom)
+    C_full = (A - ((s * jnp.cos(th_safe) - 1.0) * sigma
+                   + s * jnp.sin(th_safe) * th_safe) / denom) / (
+        th_safe * th_safe)
+
+    # theta small: series in theta, guarded in sigma
+    B_small_t = jnp.where(
+        small_s, 0.5 + sigma / 3.0,
+        ((sig_safe - 1.0) * s + 1.0) / (sig_safe ** 2))
+    C_small_t = jnp.where(
+        small_s, 1.0 / 6.0 + sigma / 8.0,
+        (s * (0.5 * sig_safe ** 2 - sig_safe + 1.0) - 1.0) / (sig_safe ** 3))
+
+    B = jnp.where(small_t, B_small_t, B_full)
+    C = jnp.where(small_t, C_small_t, C_full)
+
+    W = (A[..., None, None] * I + B[..., None, None] * Phi
+         + C[..., None, None] * Phi2)
+    t = jnp.einsum("...ij,...j->...i", W, tau)
+    return jnp.concatenate([t, q, s[..., None]], axis=-1)
+
+
+def sim3_log(g: jax.Array) -> jax.Array:
+    """Sim3 8-vector -> sim(3) tangent (..., 7) (inverse of sim3_exp;
+    W solved numerically to keep the code simple and robust)."""
+    t, q, s = g[..., :3], g[..., 3:7], g[..., 7]
+    phi = so3_log(q)
+    sigma = jnp.log(s)
+    # rebuild W from (phi, sigma) (same coefficients as sim3_exp)
+    probe = sim3_exp(jnp.concatenate(
+        [jnp.zeros_like(t), phi, sigma[..., None]], axis=-1))
+    # probe used only for its structure; compute W by differentiating the
+    # linear map tau -> translation: translation = W tau, so solve W tau = t
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=g.dtype),
+                           g.shape[:-1] + (3, 3))
+
+    def w_col(i):
+        xi = jnp.concatenate([eye[..., i], phi, sigma[..., None]], axis=-1)
+        return sim3_exp(xi)[..., :3]
+
+    W = jnp.stack([w_col(0), w_col(1), w_col(2)], axis=-1)
+    tau = jnp.linalg.solve(W, t[..., None])[..., 0]
+    return jnp.concatenate([tau, phi, sigma[..., None]], axis=-1)
+
+
 def sim3_matrix(g: jax.Array) -> jax.Array:
     R = quat_to_matrix(g[..., 3:7]) * g[..., 7:8, None]
     t = g[..., :3]

@@ -278,7 +278,7 @@ class PallasTiles(NamedTuple):
     tfin: jax.Array     # (T, P)
 
 
-G_TILES = 8  # tiles per grid step (amortizes per-step overhead)
+G_TILES = 4  # tiles per grid step (VMEM-bounded: bwd blocks ~9MB at G=4)
 
 
 def _pad_tiles(arrs, T, G):
