@@ -72,31 +72,25 @@ def main():
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))
 
     @jax.jit
-    def bench_loop(means, scales, opac):
-        def body(carry, _):
-            means, scales, opac, _ = carry
-            loss, (gm_, gs_, go_, gp_) = grad_fn(means, scales, opac,
-                                                 jnp.zeros(6))
-            # tiny SGD step: keeps iterations data-dependent (no CSE)
-            means = means - 1e-6 * gm_
-            scales = scales - 1e-6 * gs_
-            opac = opac - 1e-6 * go_
-            return (means, scales, opac, loss + jnp.sum(gp_ ** 2)), None
+    def bench_step(means, scales, opac):
+        loss, (gm_, gs_, go_, gp_) = grad_fn(means, scales, opac,
+                                             jnp.zeros(6))
+        # tiny SGD step: keeps iterations data-dependent (no CSE)
+        return (means - 1e-6 * gm_, scales - 1e-6 * gs_, opac - 1e-6 * go_,
+                loss + jnp.sum(gp_ ** 2))
 
-        (means, scales, opac, acc), _ = jax.lax.scan(
-            body, (means, scales, opac, 0.0), None, length=ITERS)
-        return acc
-
-    # compile
-    out = bench_loop(means, scales, opac)
+    # compile (one step only; per-dispatch overhead is ~0.04ms amortized)
+    out = bench_step(means, scales, opac)
     jax.block_until_ready(out)
 
-    # 3 timed repetitions, take the best
+    # 3 timed repetitions of ITERS sequential steps, take the best
     best = float("inf")
     for _ in range(3):
+        m, sc, op = means, scales, opac
         t0 = time.perf_counter()
-        out = bench_loop(means, scales, opac)
-        jax.block_until_ready(out)
+        for _ in range(ITERS):
+            m, sc, op, acc = bench_step(m, sc, op)
+        jax.block_until_ready(acc)
         best = min(best, time.perf_counter() - t0)
 
     rays_per_s = H * W * ITERS / best

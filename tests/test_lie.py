@@ -143,6 +143,21 @@ def test_sim3_roundtrip_and_action():
     np.testing.assert_allclose(lie.sim3_act(G, p), via_mat, atol=1e-5)
 
 
+def test_sim3_exp_log():
+    key = jax.random.PRNGKey(20)
+    xi = 0.4 * jax.random.normal(key, (64, 7))
+    G = lie.sim3_exp(xi)
+    np.testing.assert_allclose(lie.sim3_log(G), xi, atol=1e-5)
+    # sigma = 0 reduces exactly to SE3
+    xi0 = xi.at[:, 6].set(0.0)
+    np.testing.assert_allclose(lie.sim3_exp(xi0)[:, :7],
+                               lie.se3_exp(xi0[:, :6]), atol=1e-6)
+    # scale acts multiplicatively
+    g = lie.sim3_exp(jnp.array([0., 0, 0, 0, 0, 0, np.log(2.0)]))
+    p = jnp.array([1.0, 2.0, 3.0])
+    np.testing.assert_allclose(lie.sim3_act(g, p), 2.0 * p, atol=1e-5)
+
+
 def test_se3_wrapper_api():
     g = lie.SE3.Identity(4)
     assert g.shape == (4,)
