@@ -12,14 +12,25 @@ import torch
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/reference/thirdparty/depth_anything_v2/metric_depth")
+import os
+
+_REF = "/root/reference/thirdparty/depth_anything_v2/metric_depth"
+sys.path.insert(0, _REF)
 
 from wildgs_slam_tpu.models import dinov2 as jdino
 from wildgs_slam_tpu.models import dpt as jdpt
 
+# the torch-oracle tests need the reference checkout; structural tests run
+# everywhere
+_HAS_REF = os.path.isdir(_REF)
+needs_ref = pytest.mark.skipif(not _HAS_REF,
+                               reason="reference checkout unavailable")
+
 
 @pytest.fixture(scope="module")
 def torch_dinov2():
+    if not _HAS_REF:
+        pytest.skip("reference checkout unavailable")
     from depth_anything_v2.dinov2 import DINOv2 as TorchDINOv2
 
     torch.manual_seed(0)
@@ -27,6 +38,7 @@ def torch_dinov2():
     return m
 
 
+@needs_ref
 def test_dinov2_matches_torch_native_grid(torch_dinov2):
     """At 518x518 the pos-embed needs no interpolation — outputs must match
     to fp32 tolerance."""
@@ -51,6 +63,7 @@ def test_dinov2_matches_torch_native_grid(torch_dinov2):
                                rtol=1e-3)
 
 
+@needs_ref
 def test_dinov2_interpolated_grid_close(torch_dinov2):
     """Non-native grid exercises pos-embed interpolation; implementations
     use different resize kernels so only require closeness."""
@@ -75,6 +88,7 @@ def test_dinov2_interpolated_grid_close(torch_dinov2):
     assert cos.min() > 0.99, f"min cos {cos.min()}"
 
 
+@needs_ref
 def test_multiple_intermediate_layers(torch_dinov2):
     m = torch_dinov2
     params = jdino.load_torch_dinov2(m.state_dict())
