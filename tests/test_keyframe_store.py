@@ -92,3 +92,20 @@ def test_update_uncertainties_range():
     assert np.all((inv >= 0.0) & (inv <= 1.0))
     # untouched frames keep weight 1
     assert np.allclose(np.asarray(store2.uncertainties_inv[2]), 1.0)
+
+
+def test_backproject_pointcloud():
+    store = make_store()
+    # set known disps_up: depth 2m everywhere
+    store = store._replace(disps_up=store.disps_up.at[0].set(0.5))
+    pts, valid = kstore.backproject_pointcloud(store, 0, up=True)
+    assert bool(valid.all())
+    # identity pose shifted by se3_exp([0,0,0...]) for i=0 -> z == 2
+    np.testing.assert_allclose(np.asarray(pts[:, 2]), 2.0, atol=1e-5)
+
+
+def test_reprojection_map():
+    store = make_store()
+    coords, valid = kstore.reprojection_map(store, [0], [1])
+    assert coords.shape[-1] == 3  # (x, y, inv depth)
+    assert np.all(np.isfinite(np.asarray(coords)))

@@ -304,6 +304,36 @@ def normalize(store: KeyframeStore, n_frames: int) -> KeyframeStore:
     return store._replace(disps=disps, poses=poses)
 
 
+def backproject_pointcloud(store: KeyframeStore, index, up: bool = True):
+    """World-space point cloud of one keyframe's depth (the role of
+    droid_backends.iproj, droid_kernels.cu:790-863 — GUI/debug).
+
+    Returns points (H*W, 3) and a validity mask."""
+    disps = store.disps_up[index] if up else store.disps[index]
+    scale = 8.0 if up else 1.0
+    fx, fy, cx, cy = store.intrinsics * scale
+    H, W = disps.shape
+    grid = projective.coords_grid(H, W)
+    z = 1.0 / jnp.clip(disps, 1e-8)
+    pts_cam = jnp.stack([
+        (grid[..., 0] - cx) / fx * z,
+        (grid[..., 1] - cy) / fy * z,
+        z,
+    ], axis=-1)
+    c2w = lie.se3_inv(store.poses[index])
+    pts = lie.se3_act(c2w[None, None], pts_cam).reshape(-1, 3)
+    valid = (disps > 1e-6).reshape(-1)
+    return pts, valid
+
+
+def reprojection_map(store: KeyframeStore, ii, jj):
+    """Dense pixel reprojection maps ii->jj with validity (the role of
+    droid_backends.projmap, droid_kernels.cu:438-527)."""
+    return projective.projective_transform(
+        store.poses, store.disps, store.intrinsics, jnp.asarray(ii),
+        jnp.asarray(jj), return_depth=True)
+
+
 def get_depth_and_pose(store: KeyframeStore, index, metric_depth_reg=True):
     """Mapper-side view (depth_video.py:393-405): (depth (H,W), mask, c2w)."""
     if metric_depth_reg:
