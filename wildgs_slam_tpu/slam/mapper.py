@@ -92,7 +92,7 @@ def _uncer_adam(params, grads, mu, nu, count, lr, wd=1e-5, b1=0.9, b2=0.999,
                                    "n_dino_samples", "cfg_static"))
 def _opt_segment(gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count,
                  intrinsics, view_idxs, freeze_flags, dino_view_base,
-                 dino_sample_idx, keys, iter_offsets, loss_cfg_arr,
+                 dino_sample_idx, step_valid, iter_offsets, loss_cfg_arr,
                  image_size, capacity, chunk, uncertainty_aware: bool,
                  initialization: bool, n_dino_samples: int,
                  cfg_static: dict):
@@ -162,8 +162,9 @@ def _opt_segment(gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count,
         return total, out
 
     def body(carry, xs):
+        old_carry = carry
         gmap, vstore, u_params, u_mu, u_nu, u_cnt = carry
-        idx, freeze, d_base, d_samples, it_count = xs
+        idx, freeze, d_base, d_samples, it_count, valid = xs
 
         m2d0 = jnp.zeros((gmap.params.xyz.shape[0], 2))
         (loss, out), grads = jax.value_and_grad(
@@ -201,13 +202,17 @@ def _opt_segment(gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count,
                 u_params, g_uncer, u_mu, u_nu, u_cnt, lr=up["lr"],
                 wd=up["weight_decay"])
 
-        return (gmap, vstore, u_params, u_mu, u_nu, u_cnt), loss
+        # segment lengths are bucketed; padded steps are no-ops
+        new_carry = (gmap, vstore, u_params, u_mu, u_nu, u_cnt)
+        new_carry = jax.tree.map(lambda a, b: jnp.where(valid, a, b),
+                                 new_carry, old_carry)
+        return new_carry, loss
 
     init = (gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count)
     (gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count), ls = \
         jax.lax.scan(body, init,
                      (view_idxs, freeze_flags, dino_view_base,
-                      dino_sample_idx, iter_offsets))
+                      dino_sample_idx, iter_offsets, step_valid))
     return gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count, ls
 
 
@@ -544,20 +549,30 @@ class Mapper:
         stride = self.loss_cfg["uncertainty_params"]["reg_stride"]
         n_samples = max(1, 5 * fh * fw // (stride ** 4))
 
+        # bucket K so each distinct compiled segment serves many calls
+        # (remote compilation is expensive; per-K recompiles dominated)
+        for Kb in (8, 16, 32, 64, 128, 256, 512):
+            if K <= Kb:
+                break
+        pad = Kb - K
+
         idxs = self.rng.choice(view_pool, size=K, p=probs)
+        idxs = np.concatenate([idxs, np.full(pad, idxs[0])])
         freeze = np.array([self.iters_after_densify + i < freeze_after
-                           for i in range(K)])
+                           for i in range(K)] + [True] * pad)
         B = self.vstore.features.shape[0]
         d_base = np.clip(idxs - 2, 0, max(B - 5, 0))
-        d_samples = self.rng.randint(0, 5 * fh * fw, size=(K, n_samples))
-        iter_offsets = self.iteration_count + np.arange(K)
+        d_samples = self.rng.randint(0, 5 * fh * fw, size=(Kb, n_samples))
+        iter_offsets = self.iteration_count + np.arange(Kb)
+        step_valid = np.arange(Kb) < K
 
         (self.gaussians, self.vstore, self.uncer_params, self.uncer_mu,
          self.uncer_nu, self.uncer_count, ls) = _opt_segment(
             self.gaussians, self.vstore, self.uncer_params, self.uncer_mu,
             self.uncer_nu, self.uncer_count, self.intrinsics_full,
             jnp.asarray(idxs), jnp.asarray(freeze), jnp.asarray(d_base),
-            jnp.asarray(d_samples), None, jnp.asarray(iter_offsets), None,
+            jnp.asarray(d_samples), jnp.asarray(step_valid),
+            jnp.asarray(iter_offsets), None,
             self.image_size, self.render_list_capacity, 64,
             self.uncertainty_aware, initialization, n_samples,
             HashableDict(self.loss_cfg))
