@@ -130,12 +130,19 @@ def render_pallas(
         jax.lax.stop_gradient(proj.depth), valid, image_size,
         capacity=capacity)
 
+    # ONE lane-packed (N, 16) attribute table -> ONE row gather into the
+    # per-tile tables (and one row scatter-add VJP). The round-1 design's
+    # five separate per-column gathers lowered to serial element gathers
+    # (~0.6 ms each on v5e) and dominated the whole rasterizer.
+    attrs = jnp.concatenate(
+        [mean2d, proj.conic, proj.color, proj.opacity[:, None],
+         proj.depth[:, None],
+         jnp.zeros((means3d.shape[0], pc.ATTR_F - 10), mean2d.dtype)],
+        axis=1)
     safe_ids = jnp.maximum(bins.ids, 0)
     tiles = pc.composite_tiles_pallas(
         binning.num_tiles(image_size)[1], chunk, interpret,
-        bins.counts.astype(jnp.int32),
-        mean2d[safe_ids], proj.conic[safe_ids], proj.color[safe_ids],
-        proj.opacity[safe_ids], proj.depth[safe_ids], bg)
+        bins.counts.astype(jnp.int32), attrs[safe_ids], bg)
 
     return RenderOutput(
         color=untile(tiles.color, image_size),
