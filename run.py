@@ -25,6 +25,15 @@ def main():
     parser.add_argument("config", type=str, help="path to config yaml")
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--fast_mode", action="store_true")
+    parser.add_argument("--trace_dir", type=str, default=None,
+                        help="capture a jax.profiler (xplane) trace of the "
+                             "whole run into this directory")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint in the "
+                             "output directory")
+    parser.add_argument("--checkpoint_every", type=int, default=0,
+                        help="save a resumable checkpoint every N keyframes "
+                             "(0 = disabled)")
     args = parser.parse_args()
 
     from wildgs_slam_tpu.config import load_config
@@ -58,9 +67,22 @@ def main():
         cfg["tracking"]["uncertainty_params"]["activate"] = False
         cfg["mapping"]["uncertainty_params"]["activate"] = False
 
+    if args.checkpoint_every:
+        cfg["checkpoint_every"] = args.checkpoint_every
+    resume_path = None
+    if args.resume:
+        resume_path = os.path.join(output_dir, "checkpoint.npz")
+        if not os.path.exists(resume_path):
+            print(f"[run] --resume: no checkpoint at {resume_path}; "
+                  "starting fresh")
+            resume_path = None
+
+    from wildgs_slam_tpu.utils.profiling import trace
+
     t0 = time.time()
     slam = SLAM(cfg, stream, depth_fn=depth_fn, feat_fn=feat_fn)
-    slam.run()
+    with trace(args.trace_dir):
+        slam.run(resume_path=resume_path)
     print(f"[run] total wall time: {(time.time()-t0)/60:.1f} min")
 
 

@@ -35,6 +35,7 @@ import numpy as np
 from ..models.uncertainty import UncertaintyMLP
 from ..ops import lie
 from ..ops.rasterizer import render, render_pallas
+from ..utils.profiling import TIMER
 
 
 def _fast_render(*args, **kwargs):
@@ -46,6 +47,45 @@ def _fast_render(*args, **kwargs):
 from . import gaussian_map as gm
 from . import keyframe_store as kstore
 from . import losses, pcd, viewpoints
+
+
+def _np_quat_to_rot(q):
+    """(..., 4) xyzw unit quaternions -> (..., 3, 3) rotation matrices."""
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = np.empty(q.shape[:-1] + (3, 3), np.float64)
+    R[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    R[..., 0, 1] = 2 * (x * y - w * z)
+    R[..., 0, 2] = 2 * (x * z + w * y)
+    R[..., 1, 0] = 2 * (x * y + w * z)
+    R[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    R[..., 1, 2] = 2 * (y * z - w * x)
+    R[..., 2, 0] = 2 * (x * z - w * y)
+    R[..., 2, 1] = 2 * (y * z + w * x)
+    R[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def _np_rel_translation_norms(poses):
+    """(M, 7) SE3 [t, q_xyzw] -> (M, M) matrix of relative-pose translation
+    norms D[i, j] = ||trans(P_i ∘ P_j^{-1})|| = ||t_i - R(q_i ⊗ q_j*) t_j||.
+
+    Host-side replacement for the per-pair device round-trips in the MonoGS
+    window eviction heuristic (mapper.py:676-697)."""
+    t = poses[:, :3].astype(np.float64)
+    q = poses[:, 3:7].astype(np.float64)
+    qc = q * np.array([-1.0, -1.0, -1.0, 1.0])  # conj
+    x1, y1, z1, w1 = q[:, None, 0], q[:, None, 1], q[:, None, 2], q[:, None, 3]
+    x2, y2, z2, w2 = qc[None, :, 0], qc[None, :, 1], qc[None, :, 2], \
+        qc[None, :, 3]
+    q_rel = np.stack([
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+    ], axis=-1)                                  # (M, M, 4)
+    R = _np_quat_to_rot(q_rel)                   # (M, M, 3, 3)
+    t_rel = t[:, None, :] - np.einsum("ijab,jb->ija", R, t)
+    return np.linalg.norm(t_rel, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -159,7 +199,7 @@ def _opt_segment(gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count,
 
         total = total + 10.0 * losses.isotropic_loss(params.scaling,
                                                      gmap.aux.alive)
-        return total, out
+        return total, (out, out.overflow)
 
     def body(carry, xs):
         old_carry = carry
@@ -167,7 +207,7 @@ def _opt_segment(gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count,
         idx, freeze, d_base, d_samples, it_count, valid = xs
 
         m2d0 = jnp.zeros((gmap.params.xyz.shape[0], 2))
-        (loss, out), grads = jax.value_and_grad(
+        (loss, (out, overflow)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
                 gmap.params, vstore.exposure[idx], u_params, m2d0, idx,
                 freeze, d_base, d_samples)
@@ -206,14 +246,15 @@ def _opt_segment(gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count,
         new_carry = (gmap, vstore, u_params, u_mu, u_nu, u_cnt)
         new_carry = jax.tree.map(lambda a, b: jnp.where(valid, a, b),
                                  new_carry, old_carry)
-        return new_carry, loss
+        return new_carry, (loss, jnp.where(valid, overflow, 0))
 
     init = (gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count)
-    (gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count), ls = \
-        jax.lax.scan(body, init,
-                     (view_idxs, freeze_flags, dino_view_base,
-                      dino_sample_idx, iter_offsets, step_valid))
-    return gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count, ls
+    (gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count), \
+        (ls, ovf) = jax.lax.scan(
+            body, init, (view_idxs, freeze_flags, dino_view_base,
+                         dino_sample_idx, iter_offsets, step_valid))
+    return (gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count, ls,
+            jnp.max(ovf))
 
 
 # ---------------------------------------------------------------------------
@@ -367,6 +408,8 @@ class Mapper:
 
         self.iteration_count = 0
         self.iters_after_densify = 0
+        self.overflow_events = 0
+        self.max_overflow = 0
         self.current_window: List[int] = []
         self.occ_aware_visibility: Dict[int, jax.Array] = {}
         self.is_kf: Dict[int, bool] = {}
@@ -398,7 +441,7 @@ class Mapper:
         self.vstore = viewpoints.set_view(
             self.vstore, video_idx, color, depth, w2c, feats,
             edge_threshold=self.mc["Training"]["edge_threshold"])
-        self.cam_w2c_old[video_idx] = w2c
+        self.cam_w2c_old[video_idx] = np.asarray(w2c)
         self.depth_dict[video_idx] = depth
         return False  # invalid only in the no-metric-depth ablation
 
@@ -423,23 +466,17 @@ class Mapper:
             window.remove(to_remove[-1])
 
         if len(window) > self.window_size:
+            # one host copy + vectorized numpy pairwise relative-translation
+            # norms (the round-1 version did O(W^2) device round-trips here)
             w2c = np.asarray(self.vstore.w2c)
-            inv_dist = []
-            for i in range(N_dont_touch, len(window)):
-                kf_i = window[i]
-                Ti = lie.se3_mul(jnp.asarray(w2c[kf_i]),
-                                 lie.se3_inv(jnp.asarray(w2c[window[0]])))
-                k = float(jnp.sqrt(jnp.linalg.norm(Ti[:3])))
-                dsum = 0.0
-                for j in range(N_dont_touch, len(window)):
-                    if i == j:
-                        continue
-                    kf_j = window[j]
-                    Tij = lie.se3_mul(jnp.asarray(w2c[kf_i]),
-                                      lie.se3_inv(jnp.asarray(w2c[kf_j])))
-                    dsum += 1.0 / (float(jnp.linalg.norm(Tij[:3])) + 1e-6)
-                inv_dist.append(k * dsum)
-            idx = int(np.argmax(inv_dist))
+            cand = np.array(window[N_dont_touch:])
+            sel = w2c[np.concatenate([cand, [window[0]]])]
+            D = _np_rel_translation_norms(sel)      # (L+1, L+1)
+            L = len(cand)
+            k = np.sqrt(D[:L, L])                   # dist to current kf
+            off = D[:L, :L] + np.eye(L)             # avoid self 1/0
+            dsum = (1.0 / (off + 1e-6)).sum(1) - 1.0 / (1.0 + 1e-6)
+            idx = int(np.argmax(k * dsum))
             window.remove(window[N_dont_touch + idx])
         return window
 
@@ -566,16 +603,29 @@ class Mapper:
         iter_offsets = self.iteration_count + np.arange(Kb)
         step_valid = np.arange(Kb) < K
 
-        (self.gaussians, self.vstore, self.uncer_params, self.uncer_mu,
-         self.uncer_nu, self.uncer_count, ls) = _opt_segment(
-            self.gaussians, self.vstore, self.uncer_params, self.uncer_mu,
-            self.uncer_nu, self.uncer_count, self.intrinsics_full,
-            jnp.asarray(idxs), jnp.asarray(freeze), jnp.asarray(d_base),
-            jnp.asarray(d_samples), jnp.asarray(step_valid),
-            jnp.asarray(iter_offsets), None,
-            self.image_size, self.render_list_capacity, 64,
-            self.uncertainty_aware, initialization, n_samples,
-            HashableDict(self.loss_cfg))
+        with TIMER.phase(f"map.opt_segment[K={Kb}]"):
+            (self.gaussians, self.vstore, self.uncer_params, self.uncer_mu,
+             self.uncer_nu, self.uncer_count, ls, ovf) = _opt_segment(
+                self.gaussians, self.vstore, self.uncer_params, self.uncer_mu,
+                self.uncer_nu, self.uncer_count, self.intrinsics_full,
+                jnp.asarray(idxs), jnp.asarray(freeze), jnp.asarray(d_base),
+                jnp.asarray(d_samples), jnp.asarray(step_valid),
+                jnp.asarray(iter_offsets), None,
+                self.image_size, self.render_list_capacity, 64,
+                self.uncertainty_aware, initialization, n_samples,
+                HashableDict(self.loss_cfg))
+            ls.block_until_ready()
+        ovf = int(ovf)
+        if ovf > 0:
+            # silent truncation would corrupt colors AND gradients; surface
+            # it so the user can raise mapping.render_list_capacity
+            self.overflow_events += 1
+            self.max_overflow = max(self.max_overflow, ovf)
+            if self.overflow_events <= 5 or self.overflow_events % 100 == 0:
+                print(f"[mapper] WARNING: tile-capacity overflow "
+                      f"({ovf} entries dropped; event #{self.overflow_events}"
+                      f"); raise mapping.render_list_capacity "
+                      f"(={self.render_list_capacity})")
         self.iteration_count += K
         self.iters_after_densify += K
         return ls
@@ -655,15 +705,18 @@ class Mapper:
         if invalid:
             self.is_kf[video_idx] = False
             return
-        self._update_keyframes_from_frontend()
+        with TIMER.phase("map.kf_resync_deform"):
+            self._update_keyframes_from_frontend()
         self.frame_idxs.append(frame_idx)
         self.video_idxs.append(video_idx)
 
-        curr_vis = self._render_ntouched(video_idx) > 0
-        self.current_window = self._add_to_window(video_idx, curr_vis,
-                                                  self.current_window)
+        with TIMER.phase("map.window_update"):
+            curr_vis = self._render_ntouched(video_idx) > 0
+            self.current_window = self._add_to_window(video_idx, curr_vis,
+                                                      self.current_window)
         self.is_kf[video_idx] = True
-        self._seed_gaussians(video_idx, init=False)
+        with TIMER.phase("map.seed_gaussians"):
+            self._seed_gaussians(video_idx, init=False)
 
         for v in self.current_window:
             if v != 0:
@@ -733,14 +786,17 @@ class Mapper:
 
     def _update_keyframes_from_frontend(self):
         store = self.state.store
+        # ONE host pull; per-kf pose comparison on host copies (the round-1
+        # version did a device jnp.allclose round-trip per keyframe)
+        poses_host = np.asarray(store.poses)
         for video_idx in self.video_idxs:
             if not self.is_kf.get(video_idx, False):
                 continue
-            c2w = lie.se3_inv(store.poses[video_idx])
-            w2c_new = lie.se3_inv(c2w)
             w2c_old = self.cam_w2c_old[video_idx]
-            if bool(jnp.allclose(w2c_new, w2c_old, atol=1e-6)):
+            if np.allclose(poses_host[video_idx], np.asarray(w2c_old),
+                           atol=1e-6):
                 continue
+            w2c_new = jnp.asarray(poses_host[video_idx])
             if self.state.metric_depth_reg:
                 depth_new = None
             else:
@@ -761,7 +817,7 @@ class Mapper:
                         depths=self.vstore.depths.at[video_idx].set(
                             depth_new))
                     self.depth_dict[video_idx] = depth_new
-            self.cam_w2c_old[video_idx] = w2c_new
+            self.cam_w2c_old[video_idx] = poses_host[video_idx]
 
 
 @partial(jax.jit, static_argnames=("image_size", "capacity", "chunk",

@@ -27,6 +27,7 @@ from ..models.uncertainty import UncertaintyMLP
 from ..ops import lie
 from ..utils import eval_traj
 from ..utils.datasets import RGB_NoPose
+from ..utils.profiling import TIMER
 from . import gaussian_map as gm
 from . import keyframe_store as kstore
 from .backend import Backend
@@ -120,8 +121,12 @@ class SLAM:
 
     # ------------------------------------------------------------------
 
-    def run(self):
-        """Main loop (tracker.py:31-88 + mapper pipe handoff, inlined)."""
+    def run(self, resume_path=None):
+        """Main loop (tracker.py:31-88 + mapper pipe handoff, inlined).
+
+        resume_path: restore a checkpoint written by a previous run and
+        continue from the frame after it (no reference counterpart — the
+        reference cannot resume a partial run, SURVEY §5)."""
         cfg = self.cfg
         stride = cfg.get("stride", 1)
         max_frames = cfg.get("max_frames", -1)
@@ -130,27 +135,57 @@ class SLAM:
 
         prev_kf_idx = 0
         prev_ba_idx = 0
+        start_i = 0
+        ckpt_every = int(cfg.get("checkpoint_every", 0))
+        ckpt_path = os.path.join(self.save_dir, "checkpoint.npz")
+        if resume_path:
+            from ..utils import checkpoint as ckpt
+
+            loop_state = ckpt.load_slam_checkpoint(resume_path, self)
+            start_i = loop_state.get("next_frame", 0)
+            prev_kf_idx = loop_state.get("prev_kf_idx", 0)
+            prev_ba_idx = loop_state.get("prev_ba_idx", 0)
+            print(f"[slam] resumed from {resume_path}: frame {start_i}, "
+                  f"{self.state.counter} keyframes")
         t_start = time.time()
 
-        for i in range(0, n_frames, stride):
-            timestamp, image, _, _ = self.stream[i]
+        for i in range(start_i, n_frames, stride):
+            with TIMER.phase("data.load"):
+                timestamp, image, _, _ = self.stream[i]
             starting_count = self.state.counter
-            force = self.motion_filter.track(float(timestamp), image)
-            self.frontend(force)
+            with TIMER.phase("track.motion_filter"):
+                force = self.motion_filter.track(float(timestamp), image)
+            with TIMER.phase("track.frontend"):
+                self.frontend(force)
             curr_kf_idx = self.state.counter - 1
 
             if curr_kf_idx != prev_kf_idx and self.frontend.is_initialized:
                 if self.state.counter == self.frontend.warmup:
                     # initialization handoff (tracker.py:64-70)
-                    self.mapper.initialize_mapper(curr_kf_idx)
+                    with TIMER.phase("map.initialize"):
+                        self.mapper.initialize_mapper(curr_kf_idx)
                     self.frontend.initialize_second_stage()
                 else:
                     if (self.enable_online_ba
                             and curr_kf_idx >= prev_ba_idx + self.ba_freq):
-                        self.backend.dense_ba(2)
+                        with TIMER.phase("track.online_global_ba"):
+                            self.backend.dense_ba(2)
                         prev_ba_idx = curr_kf_idx
-                    self.mapper.on_keyframe(curr_kf_idx, int(timestamp))
+                    with TIMER.phase("map.keyframe"):
+                        self.mapper.on_keyframe(curr_kf_idx, int(timestamp))
+            new_kf = curr_kf_idx != prev_kf_idx
             prev_kf_idx = curr_kf_idx
+
+            if (ckpt_every > 0 and new_kf and self.frontend.is_initialized
+                    and self.state.counter % ckpt_every == 0):
+                from ..utils import checkpoint as ckpt
+
+                with TIMER.phase("checkpoint.save"):
+                    ckpt.save_slam_checkpoint(
+                        ckpt_path, self,
+                        loop_state=dict(next_frame=i + stride,
+                                        prev_kf_idx=prev_kf_idx,
+                                        prev_ba_idx=prev_ba_idx))
 
         self.terminate()
         print(f"[slam] done in {time.time() - t_start:.1f}s, "
@@ -231,7 +266,8 @@ class SLAM:
             self.stream.poses is not None
 
         if cfg["tracking"]["backend"]["final_ba"]:
-            self.final_ba()
+            with TIMER.phase("final.global_ba"):
+                self.final_ba()
 
         self.save_video(os.path.join(self.save_dir, "video.npz"))
         if has_gt:
@@ -246,7 +282,8 @@ class SLAM:
             iters = cfg["mapping"]["final_refine_iters"]
             if cfg.get("fast_mode"):
                 iters = min(iters, 3000)  # slam.py run_utils fast-mode cap
-            self.mapper.final_refine(iters=iters)
+            with TIMER.phase("final.refine"):
+                self.mapper.final_refine(iters=iters)
 
         if has_gt:
             try:
@@ -274,3 +311,8 @@ class SLAM:
                                    "uncertainty_mlp_weight.pkl"), "wb") as f:
                 pickle.dump(
                     jax.tree.map(np.asarray, self.mapper.uncer_params), f)
+
+        # per-phase timing table (profiling is first-class, SURVEY §5)
+        TIMER.write(os.path.join(self.save_dir, "profile.txt"))
+        if cfg.get("verbose", True):
+            print("[slam] phase timings:\n" + TIMER.report())

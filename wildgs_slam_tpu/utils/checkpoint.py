@@ -40,8 +40,12 @@ def _to_numpy(x):
     return x
 
 
-def save_slam_checkpoint(path: str, slam) -> None:
-    """Serialize a SLAM system (slam/system.py SLAM) for resume."""
+def save_slam_checkpoint(path: str, slam, loop_state: Dict[str, Any]
+                         | None = None) -> None:
+    """Serialize a SLAM system (slam/system.py SLAM) for resume.
+
+    `loop_state` is the run-loop bookkeeping (next_frame, prev_kf_idx,
+    prev_ba_idx) saved by SLAM.run for mid-stream resume."""
     state = slam.state
     mapper = slam.mapper
     arrays: Dict[str, np.ndarray] = {}
@@ -55,10 +59,26 @@ def save_slam_checkpoint(path: str, slam) -> None:
     arrays.update(_flatten(jax.tree.map(np.asarray, mapper.uncer_nu),
                            "uncer_nu/"))
     arrays["uncer_count"] = np.asarray(mapper.uncer_count)
+    arrays["mapper_key"] = np.asarray(mapper.key)
     arrays["images"] = state.images
     if state.dino_feats is not None:
         arrays["dino_feats"] = state.dino_feats
     arrays["timestamps"] = state.timestamps
+
+    # frontend factor-graph edge state (corr pyramids are rebuilt from
+    # store.fmaps on load — they are pure functions of the fmaps)
+    g = getattr(slam.frontend, "graph", None)
+    if g is not None:
+        for name in ("ii", "jj", "age", "ii_bad", "jj_bad", "ii_inac",
+                     "jj_inac"):
+            arrays[f"graph/{name}"] = np.asarray(getattr(g, name))
+        for name in ("net", "target", "weight", "target_inac", "weight_inac",
+                     "damping"):
+            arrays[f"graph/{name}"] = _to_numpy(getattr(g, name))
+        arrays["graph/inp"] = _to_numpy(g.inp)
+
+    occ = {int(k): np.asarray(v) for k, v in
+           mapper.occ_aware_visibility.items()}
 
     meta = dict(
         counter=state.counter,
@@ -68,12 +88,21 @@ def save_slam_checkpoint(path: str, slam) -> None:
         is_kf=mapper.is_kf,
         video_idxs=mapper.video_idxs,
         frame_idxs=mapper.frame_idxs,
+        occ_aware_visibility=occ,
+        mapper_rng=mapper.rng.get_state(),
         frontend_t1=slam.frontend.t1,
         frontend_initialized=slam.frontend.is_initialized,
+        frontend_kf_dropped=getattr(slam.frontend, "num_keyframes_dropped",
+                                    0),
+        motion_filter_count=getattr(getattr(slam, "motion_filter", None),
+                                    "count", 0),
+        loop_state=loop_state or {},
     )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez_compressed(path, __meta__=np.frombuffer(
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, __meta__=np.frombuffer(
         pickle.dumps(meta), dtype=np.uint8), **arrays)
+    os.replace(tmp, path)
 
 
 def _unflatten(arrays: Dict[str, np.ndarray], template, prefix=""):
@@ -90,9 +119,9 @@ def _unflatten(arrays: Dict[str, np.ndarray], template, prefix=""):
     return out
 
 
-def load_slam_checkpoint(path: str, slam) -> None:
+def load_slam_checkpoint(path: str, slam) -> Dict[str, Any]:
     """Restore state saved by save_slam_checkpoint into a freshly built
-    SLAM system (same config)."""
+    SLAM system (same config). Returns the saved loop_state dict."""
     data = np.load(path, allow_pickle=False)
     arrays = {k: data[k] for k in data.files}
     meta = pickle.loads(arrays.pop("__meta__").tobytes())
@@ -107,6 +136,8 @@ def load_slam_checkpoint(path: str, slam) -> None:
     mapper.uncer_mu = _unflatten(arrays, mapper.uncer_mu, "uncer_mu/")
     mapper.uncer_nu = _unflatten(arrays, mapper.uncer_nu, "uncer_nu/")
     mapper.uncer_count = jnp.asarray(arrays["uncer_count"])
+    if "mapper_key" in arrays:
+        mapper.key = jnp.asarray(arrays["mapper_key"])
     state.images[:] = arrays["images"]
     if state.dino_feats is not None and "dino_feats" in arrays:
         state.dino_feats[:] = arrays["dino_feats"]
@@ -119,8 +150,47 @@ def load_slam_checkpoint(path: str, slam) -> None:
     mapper.is_kf = meta["is_kf"]
     mapper.video_idxs = meta["video_idxs"]
     mapper.frame_idxs = meta["frame_idxs"]
+    mapper.occ_aware_visibility = {
+        k: jnp.asarray(v)
+        for k, v in meta.get("occ_aware_visibility", {}).items()}
+    if "mapper_rng" in meta:
+        mapper.rng.set_state(meta["mapper_rng"])
     for v in mapper.video_idxs:
         mapper.cam_w2c_old[v] = mapper.vstore.w2c[v]
         mapper.depth_dict[v] = mapper.vstore.depths[v]
+
+    # frontend factor graph
+    if "graph/ii" in arrays and getattr(slam.frontend, "graph",
+                                        None) is not None:
+        from ..ops import correlation
+
+        g = slam.frontend.graph
+        for name in ("ii", "jj", "age", "ii_bad", "jj_bad", "ii_inac",
+                     "jj_inac"):
+            setattr(g, name, arrays[f"graph/{name}"].astype(np.int64))
+        for name in ("net", "inp", "target", "weight", "target_inac",
+                     "weight_inac", "damping"):
+            setattr(g, name, jnp.asarray(arrays[f"graph/{name}"]))
+        if g.ii.shape[0] > 0 and g.corr_impl == "volume":
+            f1 = state.store.fmaps[jnp.asarray(g.ii)]
+            f2 = state.store.fmaps[jnp.asarray(g.jj)]
+            g.corr_pyr = correlation.corr_pyramid(f1, f2)
+        else:
+            g.corr_pyr = None
+
     slam.frontend.t1 = meta["frontend_t1"]
     slam.frontend.is_initialized = meta["frontend_initialized"]
+    if hasattr(slam.frontend, "num_keyframes_dropped"):
+        slam.frontend.num_keyframes_dropped = meta.get("frontend_kf_dropped",
+                                                       0)
+
+    # motion filter last-keyframe features live in the store
+    mf = getattr(slam, "motion_filter", None)
+    if mf is not None:
+        mf.count = meta.get("motion_filter_count", 0)
+        if state.counter > 0:
+            idx = state.counter - 1
+            mf.fmap = state.store.fmaps[idx].astype(jnp.float32)
+            mf.net = state.store.nets[idx].astype(jnp.float32)
+            mf.inp = state.store.inps[idx].astype(jnp.float32)
+    return meta.get("loop_state", {})
