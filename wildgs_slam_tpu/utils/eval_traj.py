@@ -33,7 +33,9 @@ def umeyama_alignment(x: np.ndarray, y: np.ndarray, with_scale=True):
     R = U @ S @ Vt
     if with_scale:
         var_x = (xc ** 2).sum() / n
-        s = np.trace(np.diag(D) @ S) / var_x
+        # degenerate (all points coincident, e.g. identity-init trajectory):
+        # scale is unobservable; fall back to 1
+        s = np.trace(np.diag(D) @ S) / var_x if var_x > 1e-12 else 1.0
     else:
         s = 1.0
     t = my[:, 0] - s * R @ mx[:, 0]
