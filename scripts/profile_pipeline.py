@@ -97,6 +97,10 @@ def main():
     m = cfg["mapping"]
     m["final_refine_iters"] = args.final_refine
     m["gaussian_capacity"] = args.capacity
+    # 512/tile keeps the pallas bwd inside the 16MB scoped-VMEM limit (the
+    # statically-unrolled chunk loop's stack grows with K/chunk; K=2048
+    # overflows by 37KB at 384x512)
+    m["render_list_capacity"] = 512
     m["Training"].update(init_itr_num=args.init_iters,
                          mapping_itr_num=args.mapping_iters,
                          window_size=8)

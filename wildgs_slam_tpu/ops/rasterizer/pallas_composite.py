@@ -100,21 +100,24 @@ def _chunk_geometry(blk, live, px, py):
     return alpha, raw, G, power, dx, dy, dead
 
 
-def _fwd_kernel(counts_ref, attrs_ref, bg_ref, color_out, depth_out,
-                alpha_out, tfin_out, tentry_out, acc_s,
+def _fwd_kernel(counts_ref, tile_ids_ref, attrs_ref, bg_ref, color_out,
+                depth_out, alpha_out, tfin_out, tentry_out, acc_s,
                 *, ck, n_chunks, tw, g_tiles):
     step = pl.program_id(0)
     for g in range(g_tiles):
-        _fwd_one_tile(step * g_tiles + g, g, counts_ref, attrs_ref, bg_ref,
-                      color_out, depth_out, alpha_out, tfin_out, tentry_out,
-                      acc_s, ck=ck, n_chunks=n_chunks, tw=tw)
+        _fwd_one_tile(step * g_tiles + g, g, counts_ref, tile_ids_ref,
+                      attrs_ref, bg_ref, color_out, depth_out, alpha_out,
+                      tfin_out, tentry_out, acc_s, ck=ck, n_chunks=n_chunks,
+                      tw=tw)
 
 
-def _fwd_one_tile(t, g, counts_ref, attrs_ref, bg_ref, color_out, depth_out,
-                  alpha_out, tfin_out, tentry_out, acc_s,
-                  *, ck, n_chunks, tw):
+def _fwd_one_tile(t, g, counts_ref, tile_ids_ref, attrs_ref, bg_ref,
+                  color_out, depth_out, alpha_out, tfin_out, tentry_out,
+                  acc_s, *, ck, n_chunks, tw):
     count = counts_ref[t]
-    px, py = _pixel_coords(t, tw)
+    # tile_ids maps the local table row to its GLOBAL tile id (identity on a
+    # single device; rank-offset block under the tile-sharded renderer)
+    px, py = _pixel_coords(tile_ids_ref[t], tw)
 
     # acc_s rows: 0-2 rgb, 3 depth, 4 alpha, 5 T (running), 6 Tc (committed)
     acc_s[0:5, :] = jnp.zeros((5, P))
@@ -161,21 +164,22 @@ def _fwd_one_tile(t, g, counts_ref, attrs_ref, bg_ref, color_out, depth_out,
     tfin_out[g] = Tfin
 
 
-def _bwd_kernel(counts_ref, attrs_ref, bg_ref, tentry_ref, tfin_ref, gc_ref,
-                gd_ref, ga_ref, gt_ref, dattrs_out, S_s,
+def _bwd_kernel(counts_ref, tile_ids_ref, attrs_ref, bg_ref, tentry_ref,
+                tfin_ref, gc_ref, gd_ref, ga_ref, gt_ref, dattrs_out, S_s,
                 *, ck, n_chunks, tw, g_tiles):
     step = pl.program_id(0)
     for g in range(g_tiles):
-        _bwd_one_tile(step * g_tiles + g, g, counts_ref, attrs_ref, bg_ref,
-                      tentry_ref, tfin_ref, gc_ref, gd_ref, ga_ref, gt_ref,
-                      dattrs_out, S_s, ck=ck, n_chunks=n_chunks, tw=tw)
+        _bwd_one_tile(step * g_tiles + g, g, counts_ref, tile_ids_ref,
+                      attrs_ref, bg_ref, tentry_ref, tfin_ref, gc_ref,
+                      gd_ref, ga_ref, gt_ref, dattrs_out, S_s, ck=ck,
+                      n_chunks=n_chunks, tw=tw)
 
 
-def _bwd_one_tile(t, g, counts_ref, attrs_ref, bg_ref, tentry_ref, tfin_ref,
-                  gc_ref, gd_ref, ga_ref, gt_ref, dattrs_out, S_s,
-                  *, ck, n_chunks, tw):
+def _bwd_one_tile(t, g, counts_ref, tile_ids_ref, attrs_ref, bg_ref,
+                  tentry_ref, tfin_ref, gc_ref, gd_ref, ga_ref, gt_ref,
+                  dattrs_out, S_s, *, ck, n_chunks, tw):
     count = counts_ref[t]
-    px, py = _pixel_coords(t, tw)
+    px, py = _pixel_coords(tile_ids_ref[t], tw)
 
     gcr = gc_ref[g, 0:1, :]        # (1, P) lane-transposed color cotangent
     gcg = gc_ref[g, 1:2, :]
@@ -272,8 +276,8 @@ def _pad_tiles(arrs, T, G):
     return out, Tp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def composite_tiles_pallas(tw, ck, interpret, counts, attrs, bg):
+def composite_tiles_pallas(tw, ck, interpret, counts, attrs, bg,
+                           tile_ids=None):
     """Composite packed per-tile Gaussian tables.
 
     Args:
@@ -283,33 +287,43 @@ def composite_tiles_pallas(tw, ck, interpret, counts, attrs, bg):
       counts: (T,) int32 live entries per tile.
       attrs: (T, K, ATTR_F) packed per-slot attributes (layout _A*).
       bg: (3,) background color.
+      tile_ids: (T,) int32 global tile id per table row (None = identity;
+        the tile-sharded renderer passes its rank-offset block).
     """
-    out, _ = _fwd_impl(tw, ck, interpret, counts, attrs, bg)
+    if tile_ids is None:
+        tile_ids = jnp.arange(attrs.shape[0], dtype=jnp.int32)
+    return _composite_vjp(tw, ck, interpret, counts, tile_ids, attrs, bg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _composite_vjp(tw, ck, interpret, counts, tile_ids, attrs, bg):
+    out, _ = _fwd_impl(tw, ck, interpret, counts, tile_ids, attrs, bg)
     return out
 
 
-def _fwd_impl(tw, ck, interpret, counts, attrs, bg):
+def _fwd_impl(tw, ck, interpret, counts, tile_ids, attrs, bg):
     T, K = attrs.shape[:2]
     n_chunks = K // ck
     assert n_chunks * ck == K
     G = G_TILES
-    (counts_p, attrs_p), Tp = _pad_tiles([counts, attrs], T, G)
+    (counts_p, tile_ids_p, attrs_p), Tp = _pad_tiles(
+        [counts, tile_ids, attrs], T, G)
 
     kern = functools.partial(_fwd_kernel, ck=ck, n_chunks=n_chunks, tw=tw,
                              g_tiles=G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(Tp // G,),
         in_specs=[
-            pl.BlockSpec((G, K, ATTR_F), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((3, P), lambda t, c: (0, 0)),
+            pl.BlockSpec((G, K, ATTR_F), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((3, P), lambda t, *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((G, 3, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((G, 1, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((G, 1, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((G, 1, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((G, n_chunks, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, 3, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((G, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((G, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((G, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((G, n_chunks, P), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, P), jnp.float32),
@@ -326,47 +340,47 @@ def _fwd_impl(tw, ck, interpret, counts, attrs, bg):
             jax.ShapeDtypeStruct((Tp, n_chunks, P), jnp.float32),
         ],
         interpret=interpret,
-    )(counts_p, attrs_p, jnp.broadcast_to(bg[:, None], (3, P)))
+    )(counts_p, tile_ids_p, attrs_p, jnp.broadcast_to(bg[:, None], (3, P)))
     colr, dep, acc, tfin, tentry = outs
     return PallasTiles(jnp.swapaxes(colr[:T], 1, 2), dep[:T, 0], acc[:T, 0],
                        tfin[:T, 0]), tentry
 
 
-def _vjp_fwd(tw, ck, interpret, counts, attrs, bg):
-    out, tentry = _fwd_impl(tw, ck, interpret, counts, attrs, bg)
-    res = (counts, attrs, bg, tentry, out.tfin)
+def _vjp_fwd(tw, ck, interpret, counts, tile_ids, attrs, bg):
+    out, tentry = _fwd_impl(tw, ck, interpret, counts, tile_ids, attrs, bg)
+    res = (counts, tile_ids, attrs, bg, tentry, out.tfin)
     return out, res
 
 
 def _vjp_bwd(tw, ck, interpret, res, cot):
-    counts, attrs, bg, tentry, tfin = res
+    counts, tile_ids, attrs, bg, tentry, tfin = res
     gc, gd, ga, gt = cot
     T, K = attrs.shape[:2]
     n_chunks = K // ck
     G = G_TILES
     gct = jnp.swapaxes(gc, 1, 2)  # (T, 3, P) lane-transposed outside
-    (counts_p, attrs_p, gct_p, gd_p, ga_p, gt_p, tfin_p), Tp = _pad_tiles(
-        [counts, attrs, gct, gd, ga, gt, tfin], T, G)
+    (counts_p, tile_ids_p, attrs_p, gct_p, gd_p, ga_p, gt_p, tfin_p), Tp = \
+        _pad_tiles([counts, tile_ids, attrs, gct, gd, ga, gt, tfin], T, G)
     # tentry was produced padded by _fwd_impl
     tentry_p = tentry
 
     kern = functools.partial(_bwd_kernel, ck=ck, n_chunks=n_chunks, tw=tw,
                              g_tiles=G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(Tp // G,),
         in_specs=[
-            pl.BlockSpec((G, K, ATTR_F), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((3, P), lambda t, c: (0, 0)),
-            pl.BlockSpec((G, n_chunks, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((G, 1, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((G, 3, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((G, 1, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((G, 1, P), lambda t, c: (t, 0, 0)),
-            pl.BlockSpec((G, 1, P), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, ATTR_F), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((3, P), lambda t, *_: (0, 0)),
+            pl.BlockSpec((G, n_chunks, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((G, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((G, 3, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((G, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((G, 1, P), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((G, 1, P), lambda t, *_: (t, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((G, K, ATTR_F), lambda t, c: (t, 0, 0)),
+            pl.BlockSpec((G, K, ATTR_F), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
@@ -379,13 +393,13 @@ def _vjp_bwd(tw, ck, interpret, res, cot):
             jax.ShapeDtypeStruct((Tp, K, ATTR_F), jnp.float32),
         ],
         interpret=interpret,
-    )(counts_p, attrs_p, jnp.broadcast_to(bg[:, None], (3, P)), tentry_p,
-      tfin_p[:, None, :], gct_p, gd_p[:, None, :], ga_p[:, None, :],
-      gt_p[:, None, :])
+    )(counts_p, tile_ids_p, attrs_p, jnp.broadcast_to(bg[:, None], (3, P)),
+      tentry_p, tfin_p[:, None, :], gct_p, gd_p[:, None, :],
+      ga_p[:, None, :], gt_p[:, None, :])
     dattrs = douts[0]
 
     dbg = jnp.einsum("tp,tpc->c", tfin, gc)
-    return (None, dattrs[:T], dbg)
+    return (None, None, dattrs[:T], dbg)
 
 
-composite_tiles_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+_composite_vjp.defvjp(_vjp_fwd, _vjp_bwd)

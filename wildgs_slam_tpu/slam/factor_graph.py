@@ -77,10 +77,14 @@ def _update_core(params, poses, disps, disps_up, intrinsics, uncert_inv,
     corr = correlation.corr_lookup(
         [corr_l0, corr_l1, corr_l2, corr_l3], coords1)
 
-    ii_rel = jnp.clip(ii - frame_base, 0, pmax - 1)
+    # invalid (padding) edges route to dropped slot pmax so they cannot
+    # pollute GraphAgg's per-frame mean (segment_sum drops oob indices)
+    ii_rel = jnp.where(edge_valid, jnp.clip(ii - frame_base, 0, pmax - 1),
+                       pmax)
     net2, delta, weight2, eta_new, upmask = droid_net.UpdateModule().apply(
         {"params": params["update"]}, net, inp, corr.astype(net.dtype),
         motn.astype(net.dtype), ii_rel, pmax)
+    ii_rel = jnp.clip(ii - frame_base, 0, pmax - 1)
 
     net2 = jnp.where(edge_valid[:, None, None, None], net2, net)
     target2 = coords1 + delta.astype(jnp.float32)
@@ -144,7 +148,8 @@ def _lowmem_gru_core(params, poses, disps, intrinsics, p0, p1, p2, p3,
     motn = jnp.clip(jnp.concatenate(
         [coords1 - coords0, target - coords1], axis=-1), -64.0, 64.0)
     corr = correlation.alt_corr([p0, p1, p2, p3], coords1, ii, jj)
-    ii_rel = jnp.clip(ii - frame_base, 0, pmax - 1)
+    ii_rel = jnp.where(edge_valid, jnp.clip(ii - frame_base, 0, pmax - 1),
+                       pmax)
     net2, delta, weight2, eta_new, _ = droid_net.UpdateModule().apply(
         {"params": params["update"]}, net, inp, corr.astype(net.dtype),
         motn.astype(net.dtype), ii_rel, pmax)
