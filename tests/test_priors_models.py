@@ -1,7 +1,10 @@
-"""Golden tests for the flax DINOv2 against the reference's vendored torch
-implementation (random weights converted through our loader). The DPT head
-is checked structurally (shapes + converter coverage) since torchvision is
-absent in this image."""
+"""Golden tests for the flax DINOv2 AND the full DepthAnythingV2 DPT
+metric-depth network against the reference's vendored torch implementation
+(random weights converted through our loader). torchvision is absent in this
+image; the vendored dpt.py only needs transforms.Compose at import time, so
+a stub module suffices for the forward-pass oracle."""
+
+import types
 
 import sys
 
@@ -103,6 +106,60 @@ def test_multiple_intermediate_layers(torch_dinov2):
     for (pj, cj), (pt, ct) in zip(outs_j, outs_t):
         np.testing.assert_allclose(np.asarray(pj), pt.numpy(), atol=2e-4,
                                    rtol=1e-3)
+
+
+@needs_ref
+def test_depth_anything_full_forward_matches_torch():
+    """FULL DA2-small metric-depth forward (DINOv2 + DPT head) vs the
+    vendored torch network with converted random weights, on the native
+    518x518 grid (no pos-embed interpolation). fp32 allclose."""
+    # stub torchvision: the vendored dpt.py imports transforms.Compose at
+    # module scope but the oracle only needs forward()
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        tr.Compose = lambda ts: ts
+        tv.transforms = tr
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
+    from depth_anything_v2.dpt import DepthAnythingV2 as TorchDA2
+
+    torch.manual_seed(3)
+    m = TorchDA2(encoder="vits", features=64,
+                 out_channels=[48, 96, 192, 384], max_depth=20.0).eval()
+
+    params = jdpt.load_torch_depth_anything(m.state_dict(), encoder="vits")
+    model = jdpt.DepthAnythingV2(encoder="vits", max_depth=20.0)
+
+    # 1) DPT HEAD alone with identical controlled inputs: tight tolerance
+    # (isolates converter/layout bugs from fp accumulation)
+    rng = np.random.RandomState(4)
+    ph = pw = 10
+    feats = [rng.randn(1, ph * pw, 384).astype(np.float32) * 0.5
+             for _ in range(4)]
+    with torch.no_grad():
+        d_head_t = m.depth_head(
+            [(torch.from_numpy(f), torch.zeros(1, 384)) for f in feats],
+            ph, pw).numpy()[:, 0]
+    d_head_j = np.asarray(jdpt.DPTHead(64, [48, 96, 192, 384]).apply(
+        {"params": params["depth_head"]},
+        [jnp.asarray(f) for f in feats], ph, pw))
+    np.testing.assert_allclose(d_head_j, d_head_t, atol=2e-5, rtol=1e-4)
+
+    # 2) full net end-to-end: random unnormalized weights amplify the
+    # encoder's ~2e-4 fp drift through the RefineNet residual chain, so
+    # gate on near-perfect correlation + bounded relative error
+    x = rng.rand(1, 518, 518, 3).astype(np.float32)
+    with torch.no_grad():
+        d_t = m(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    d_j = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+
+    assert d_j.shape == d_t.shape == (1, 518, 518)
+    a, b = d_j.ravel(), d_t.ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    rel = np.abs(a - b) / (np.abs(b) + 1e-6)
+    assert corr > 0.9999, f"corr {corr}"
+    assert rel.max() < 0.02, f"max rel {rel.max()}"
 
 
 def test_depth_anything_runs_and_shapes():

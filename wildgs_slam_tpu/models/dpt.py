@@ -31,11 +31,30 @@ HEAD_CHANNELS = {
 
 
 def _resize(x, size):
-    """Bilinear resize NHWC, align_corners=True semantics (torch default in
-    DPT). jax.image.resize has no align_corners; for the smooth feature maps
-    here the difference is negligible — documented deviation."""
-    B, _, _, C = x.shape
-    return jax.image.resize(x, (B, size[0], size[1], C), "bilinear")
+    """Bilinear resize NHWC with EXACT torch align_corners=True semantics
+    (F.interpolate in the DPT fusion blocks): sample positions are
+    i*(n_in-1)/(n_out-1), separable along H then W. jax.image.resize cannot
+    express this; the manual gather keeps the flax head bit-comparable to
+    the vendored torch head (tests/test_priors_models.py)."""
+    B, H, W, C = x.shape
+    oh, ow = int(size[0]), int(size[1])
+
+    def lin(n_in, n_out):
+        if n_out == 1:
+            z = jnp.zeros(1)
+            return z, z.astype(jnp.int32), z.astype(jnp.int32)
+        c = jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1.0)
+                                                    / (n_out - 1.0))
+        i0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, n_in - 1)
+        i1 = jnp.clip(i0 + 1, 0, n_in - 1)
+        return c - i0.astype(jnp.float32), i0, i1
+
+    wy, y0, y1 = lin(H, oh)
+    wx, x0, x1 = lin(W, ow)
+    xh = (x[:, y0] * (1.0 - wy)[None, :, None, None]
+          + x[:, y1] * wy[None, :, None, None])
+    return (xh[:, :, x0] * (1.0 - wx)[None, None, :, None]
+            + xh[:, :, x1] * wx[None, None, :, None])
 
 
 class ResidualConvUnit(nn.Module):
@@ -80,11 +99,15 @@ class DPTHead(nn.Module):
             h = x.reshape(B, patch_h, patch_w, C)
             h = nn.Conv(self.out_channels[i], (1, 1), name=f"project{i}")(h)
             if i == 0:
+                # transpose_kernel=True = torch ConvTranspose2d semantics
+                # (gradient-of-conv, spatially flipped kernel)
                 h = nn.ConvTranspose(self.out_channels[i], (4, 4),
-                                     strides=(4, 4), name="resize0")(h)
+                                     strides=(4, 4), transpose_kernel=True,
+                                     name="resize0")(h)
             elif i == 1:
                 h = nn.ConvTranspose(self.out_channels[i], (2, 2),
-                                     strides=(2, 2), name="resize1")(h)
+                                     strides=(2, 2), transpose_kernel=True,
+                                     name="resize1")(h)
             elif i == 3:
                 h = nn.Conv(self.out_channels[i], (3, 3), strides=(2, 2),
                             padding=((1, 1), (1, 1)), name="resize3")(h)
@@ -148,8 +171,9 @@ def load_torch_depth_anything(state_dict, encoder="vits"):
         return jnp.asarray(np.asarray(sd[name]).transpose(2, 3, 1, 0))
 
     def ctw(name):
-        # ConvTranspose torch (I, O, kh, kw) -> flax (kh, kw, I, O)
-        return jnp.asarray(np.asarray(sd[name]).transpose(2, 3, 0, 1))
+        # ConvTranspose torch (I, O, kh, kw) -> flax transpose_kernel=True
+        # layout (kh, kw, O, I)
+        return jnp.asarray(np.asarray(sd[name]).transpose(2, 3, 1, 0))
 
     def b(name):
         return jnp.asarray(np.asarray(sd[name]))
