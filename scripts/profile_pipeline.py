@@ -17,7 +17,15 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+
+import jax
+
+# sitecustomize imports jax at interpreter start, so env vars are too late
+# (CLAUDE.md); configure the persistent compile cache via jax.config
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 
@@ -48,6 +56,26 @@ def make_tum_scene(root, n, H, W):
                         ("groundtruth.txt", gt_lines)):
         with open(os.path.join(root, name), "w") as f:
             f.write(hdr + "\n".join(lines))
+
+
+class _ProgressStream:
+    """Dataset proxy printing a heartbeat per frame access, so long remote
+    compiles are visible in the log."""
+
+    def __init__(self, stream):
+        self._s = stream
+        self.t0 = time.time()
+
+    def __len__(self):
+        return len(self._s)
+
+    def __getitem__(self, i):
+        print(f"[profile] frame {i} +{time.time() - self.t0:.0f}s",
+              flush=True)
+        return self._s[i]
+
+    def __getattr__(self, name):
+        return getattr(self._s, name)
 
 
 def main():
@@ -115,7 +143,7 @@ def main():
     def feat_fn(im):
         return feats[int(np.asarray(im).sum() * 1e3) % 8]
 
-    stream = get_dataset(cfg)
+    stream = _ProgressStream(get_dataset(cfg))
     t0 = time.time()
     slam = SLAM(cfg, stream, depth_fn=depth_fn, feat_fn=feat_fn)
     slam.run()

@@ -1,0 +1,70 @@
+"""Control-channel tests: pause/resume/stop/checkpoint via file and HTTP
+(the reference's Packet_vis2main semantics, src/gui/gui_utils.py:86-190)."""
+
+import json
+import os
+import threading
+import time
+import urllib.request
+
+from wildgs_slam_tpu.gui.control import ControlChannel
+
+
+def write_cmd(path, cmd):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cmd, f)
+    os.replace(tmp, path)
+
+
+def test_file_commands(tmp_path):
+    chan = ControlChannel(str(tmp_path))
+    assert chan.poll() == {"pause": False, "stop": False,
+                           "save_checkpoint": False}
+
+    write_cmd(chan.path, {"pause": True})
+    assert chan.poll()["pause"]
+
+    # one-shot checkpoint request
+    time.sleep(0.01)  # distinct mtime
+    write_cmd(chan.path, {"save_checkpoint": True})
+    assert chan.consume_checkpoint_request()
+    assert not chan.consume_checkpoint_request()
+
+    # wait_if_paused blocks until resumed from another thread
+    t0 = time.time()
+
+    def resume():
+        time.sleep(0.4)
+        write_cmd(chan.path, {"pause": False})
+
+    th = threading.Thread(target=resume)
+    th.start()
+    chan.wait_if_paused(interval=0.05)
+    th.join()
+    assert time.time() - t0 >= 0.3
+    assert not chan.poll()["pause"]
+
+    # stop breaks a pause wait
+    time.sleep(0.01)
+    write_cmd(chan.path, {"pause": True, "stop": True})
+    chan.wait_if_paused(interval=0.05)  # returns immediately
+    assert chan.poll()["stop"]
+
+
+def test_http_commands(tmp_path):
+    chan = ControlChannel(str(tmp_path), http_port=0)  # auto port
+    assert chan.http_port
+    base = f"http://127.0.0.1:{chan.http_port}"
+
+    def get(cmd):
+        with urllib.request.urlopen(f"{base}/{cmd}", timeout=5) as r:
+            return json.loads(r.read())
+
+    assert not get("status")["pause"]
+    assert get("pause")["pause"]
+    assert not get("resume")["pause"]
+    assert get("checkpoint")["save_checkpoint"]
+    assert chan.consume_checkpoint_request()
+    assert get("stop")["stop"]
+    chan.close()

@@ -17,12 +17,25 @@ _INDEX_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>wildgs_slam_tpu live</title>
 <meta http-equiv="refresh" content="2">
 <style>body{background:#111;color:#eee;font-family:monospace}
-img{max-width:46vw;margin:4px;border:1px solid #333}</style></head>
+img{max-width:46vw;margin:4px;border:1px solid #333}
+button{background:#333;color:#eee;border:1px solid #666;margin:2px;
+padding:4px 10px;cursor:pointer}</style></head>
 <body><h3>wildgs_slam_tpu — live view (auto-refresh 2s)</h3>
+{controls}
 <div><img src="render.png?r={r}"><img src="depth.png?r={r}"></div>
 <div><img src="uncertainty.png?r={r}"><img src="traj.png?r={r}"></div>
 <p>{status}</p></body></html>
 """
+
+_CONTROLS_HTTP = """<div>
+<button onclick="fetch('http://127.0.0.1:{port}/pause')">pause</button>
+<button onclick="fetch('http://127.0.0.1:{port}/resume')">resume</button>
+<button onclick="fetch('http://127.0.0.1:{port}/checkpoint')">checkpoint</button>
+<button onclick="fetch('http://127.0.0.1:{port}/stop')">stop</button>
+</div>"""
+
+_CONTROLS_FILE = ("<p>control: write {\"pause\": true} etc. to "
+                  "gui/control.json</p>")
 
 
 @dataclass
@@ -40,10 +53,11 @@ class GaussianPacket:
 
 
 class FileGui:
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, http_port: Optional[int] = None):
         self.dir = os.path.join(out_dir, "gui")
         os.makedirs(self.dir, exist_ok=True)
         self._rev = 0
+        self.http_port = http_port
 
     def push(self, pkt: GaussianPacket):
         import matplotlib
@@ -77,6 +91,9 @@ class FileGui:
         self._rev += 1
         status = (f"frame {pkt.frame_idx} · window {pkt.window} · "
                   f"{pkt.n_gaussians} gaussians")
+        controls = (_CONTROLS_HTTP.replace("{port}", str(self.http_port))
+                    if self.http_port else _CONTROLS_FILE)
         with open(os.path.join(self.dir, "index.html"), "w") as f:
             f.write(_INDEX_HTML.replace("{r}", str(self._rev))
-                    .replace("{status}", status))
+                    .replace("{status}", status)
+                    .replace("{controls}", controls))

@@ -424,7 +424,8 @@ class Mapper:
 
             out = cfg.get("data", {}).get("output", "./output")
             self.gui = FileGui(os.path.join(out, str(cfg.get("scene",
-                                                             "scene"))))
+                                                             "scene"))),
+                               http_port=cfg.get("_gui_http_port"))
 
     # ------------------------------------------------------------------
     # viewpoint creation (mapper.py:302-363)

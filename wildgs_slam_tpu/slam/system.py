@@ -66,6 +66,16 @@ class SLAM:
             uncertainty_aware=self.uncertainty_aware,
             metric_depth_reg=cfg["tracking"]["backend"]["metric_depth_reg"])
 
+        # pause/resume/stop/checkpoint control channel (the reference's
+        # Packet_vis2main queue, src/gui/gui_utils.py:86-190); HTTP endpoint
+        # auto-enabled with the GUI so the live page's buttons work
+        from ..gui.control import ControlChannel
+
+        http_port = cfg.get("gui_http_port",
+                            0 if cfg.get("gui", False) else None)
+        self.control = ControlChannel(self.save_dir, http_port=http_port)
+        cfg["_gui_http_port"] = self.control.http_port
+
         # DROID network weights
         if droid_params is None:
             ckpt = cfg["tracking"].get("pretrained")
@@ -150,6 +160,24 @@ class SLAM:
         t_start = time.time()
 
         for i in range(start_i, n_frames, stride):
+            cmd = self.control.poll()
+            if cmd["stop"]:
+                print(f"[slam] stop requested at frame {i}")
+                break
+            if cmd["pause"]:
+                print(f"[slam] paused at frame {i} (control channel)")
+                self.control.wait_if_paused()
+                print("[slam] resumed")
+            if self.control.consume_checkpoint_request():
+                from ..utils import checkpoint as ckpt
+
+                ckpt.save_slam_checkpoint(
+                    ckpt_path, self,
+                    loop_state=dict(next_frame=i, prev_kf_idx=prev_kf_idx,
+                                    prev_ba_idx=prev_ba_idx))
+                print(f"[slam] checkpoint saved (control channel) -> "
+                      f"{ckpt_path}")
+
             with TIMER.phase("data.load"):
                 timestamp, image, _, _ = self.stream[i]
             starting_count = self.state.counter
@@ -316,3 +344,4 @@ class SLAM:
         TIMER.write(os.path.join(self.save_dir, "profile.txt"))
         if cfg.get("verbose", True):
             print("[slam] phase timings:\n" + TIMER.report())
+        self.control.close()
