@@ -298,6 +298,24 @@ class SLAM:
                 self.final_ba()
 
         self.save_video(os.path.join(self.save_dir, "video.npz"))
+
+        if cfg.get("eval_depth_l1", False) and has_gt:
+            # Splat-SLAM depth-L1 protocol (depth_video.py:514-563; disabled
+            # upstream, optional here)
+            from ..utils.eval_depth import eval_depth_l1
+
+            try:
+                l1, l1_4m, cov = eval_depth_l1(
+                    self.state.store, self.state.counter, self.stream)
+                msg = (f"depth L1: {l1:.4f} m, depth L1 (<4m): {l1_4m:.4f} m,"
+                       f" mask coverage: {cov:.3f}")
+                print(f"[slam] {msg}")
+                with open(os.path.join(self.save_dir, "traj",
+                                       "depth_l1.txt"), "w") as f:
+                    f.write(msg + "\n")
+            except Exception as e:
+                print(f"[slam] depth L1 eval failed: {e}")
+
         if has_gt:
             try:
                 stats = self.kf_traj_eval(
