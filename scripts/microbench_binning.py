@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Microbench: binning compaction variants on TPU at bench.py shapes.
+
+Round-1 breakdown put binning at ~2.0 ms of the ~3.3 ms rasterize iteration;
+the suspect is HBM traffic from the (T, CHUNK, capacity) one-hot
+intermediates. Compares 'onehot' vs 'topk' (lax.top_k over rank keys).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+
+import jax.numpy as jnp
+import numpy as np
+
+from wildgs_slam_tpu.ops.rasterizer import binning
+
+
+def main():
+    H, W = 240, 320
+    N = 5120
+    CAP = 256
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    mean2d = jax.random.uniform(k1, (N, 2)) * jnp.array([W * 1.0, H * 1.0])
+    radius = (1.0 + 11.0 * jax.random.uniform(k2, (N,))).astype(jnp.int32)
+    depth = 1.0 + jax.random.uniform(k3, (N,))
+    valid = jax.random.uniform(jax.random.PRNGKey(1), (N,)) > 0.1
+
+    for method in ("onehot", "topk"):
+        fn = jax.jit(lambda m, r, d, v: binning.bin_gaussians(
+            m, r, d, v, (H, W), capacity=CAP, method=method))
+        out = fn(mean2d, radius, depth, valid)
+        jax.block_until_ready(out)
+        n_it = 100
+        t0 = time.perf_counter()
+        for _ in range(n_it):
+            out = fn(mean2d, radius, depth, valid)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n_it
+        print(f"{method}: {dt*1e3:.3f} ms/call  "
+              f"(counts sum {int(out.counts.sum())}, "
+              f"overflow {int(out.overflow)})")
+
+
+if __name__ == "__main__":
+    main()

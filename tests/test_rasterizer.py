@@ -115,3 +115,25 @@ def test_pose_delta_shifts_image(scene):
         pose_delta=jnp.array([0.1, 0.0, 0.0, 0.0, 0.0, 0.0]))
     diff = float(jnp.abs(base.color - shifted.color).mean())
     assert diff > 1e-3
+
+
+def test_binning_topk_matches_onehot():
+    """The top_k compaction must produce identical tile tables."""
+    import numpy as np
+    from wildgs_slam_tpu.ops.rasterizer import binning
+
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    N = 700
+    mean2d = jax.random.uniform(k1, (N, 2)) * jnp.array([64.0, 48.0])
+    radius = (1.0 + 7.0 * jax.random.uniform(k2, (N,))).astype(jnp.int32)
+    depth = 1.0 + jax.random.uniform(k3, (N,))
+    valid = jax.random.uniform(jax.random.PRNGKey(6), (N,)) > 0.2
+
+    a = binning.bin_gaussians(mean2d, radius, depth, valid, (48, 64),
+                              capacity=64, method="onehot")
+    b = binning.bin_gaussians(mean2d, radius, depth, valid, (48, 64),
+                              capacity=64, method="topk")
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    assert int(a.overflow) == int(b.overflow)

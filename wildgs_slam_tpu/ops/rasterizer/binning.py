@@ -41,10 +41,13 @@ def bin_gaussians(
     valid: jax.Array,
     image_size: tuple[int, int],
     capacity: int = 1024,
+    method: str = "onehot",
 ) -> TileBins:
     """Build per-tile depth-ordered Gaussian id lists.
 
     Args: see ProjectedGaussians; all (N,)-leading.
+    method: 'onehot' = cumsum + chunked one-hot matmul scatter (MXU);
+            'topk'   = lax.top_k over rank keys (no (T,N,cap) intermediate).
     """
     H, W = image_size
     th, tw = num_tiles(image_size)
@@ -76,6 +79,22 @@ def bin_gaussians(
         & (y0[None, :] <= ty[:, None])
         & (y1[None, :] >= ty[:, None])
     )  # (T, N)
+
+    if method == "topk":
+        # 3'. first-`capacity` set bits per tile via top_k on rank keys:
+        # key[t, n] = -n if intersecting else -inf; the k largest keys are
+        # the k SMALLEST sorted-order ranks, returned in order. Avoids the
+        # (T, CHUNK, capacity) one-hot intermediates entirely.
+        key = jnp.where(mask, -jnp.arange(N, dtype=jnp.float32),
+                        -jnp.inf)
+        vals, pos = jax.lax.top_k(key, capacity)         # (T, cap)
+        found = vals > -jnp.inf
+        ids = jnp.where(found, order[pos], -1)
+        counts_raw = jnp.sum(mask, axis=1)
+        counts = jnp.minimum(counts_raw, capacity)
+        overflow = jnp.sum(jnp.maximum(counts_raw - capacity, 0))
+        return TileBins(ids=ids.astype(jnp.int32),
+                        counts=counts.astype(jnp.int32), overflow=overflow)
 
     # 3. order-preserving compaction into fixed-capacity lists. The prefix
     # sum runs as a blocked triangular matmul and the "write id to its rank"
