@@ -262,7 +262,18 @@ class PallasTiles(NamedTuple):
     tfin: jax.Array     # (T, P)
 
 
-G_TILES = 4  # tiles per grid step
+G_TILES = 4  # tiles per grid step (max)
+
+
+def _g_for(K: int) -> int:
+    """Tiles per grid step, adapted to the per-tile list length K.
+
+    The statically-unrolled chunk loops allocate VMEM stack proportional to
+    G * n_chunks; measured on v5e, K=2048 with G=4 exceeds the 16MB scoped
+    limit by 37KB while K=512/G=4 fits. Scale G down so G*K <= 2048 chunks'
+    worth (grid-step count G made no throughput difference in round-1
+    sweeps, so this only buys headroom)."""
+    return max(1, min(G_TILES, 2048 // max(K, 1)))
 
 
 def _pad_tiles(arrs, T, G):
@@ -305,7 +316,7 @@ def _fwd_impl(tw, ck, interpret, counts, tile_ids, attrs, bg):
     T, K = attrs.shape[:2]
     n_chunks = K // ck
     assert n_chunks * ck == K
-    G = G_TILES
+    G = _g_for(K)
     (counts_p, tile_ids_p, attrs_p), Tp = _pad_tiles(
         [counts, tile_ids, attrs], T, G)
 
@@ -357,7 +368,7 @@ def _vjp_bwd(tw, ck, interpret, res, cot):
     gc, gd, ga, gt = cot
     T, K = attrs.shape[:2]
     n_chunks = K // ck
-    G = G_TILES
+    G = _g_for(K)
     gct = jnp.swapaxes(gc, 1, 2)  # (T, 3, P) lane-transposed outside
     (counts_p, tile_ids_p, attrs_p, gct_p, gd_p, ga_p, gt_p, tfin_p), Tp = \
         _pad_tiles([counts, tile_ids, attrs, gct, gd, ga, gt, tfin], T, G)
