@@ -31,16 +31,14 @@ distributed counterpart exists in the reference (single GPU, SURVEY §2.4).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .compat import shard_map
 
-from ..ops import dba, lie
+from ..ops import dba
 
 
 def shard_edges_by_frame(ii, jj, n_devices, max_frames, degree,

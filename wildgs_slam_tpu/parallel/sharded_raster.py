@@ -30,11 +30,8 @@ No reference counterpart (single GPU); this is the build's new capability
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .compat import shard_map
