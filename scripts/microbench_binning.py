@@ -24,10 +24,7 @@ import numpy as np
 from wildgs_slam_tpu.ops.rasterizer import binning
 
 
-def main():
-    H, W = 240, 320
-    N = 5120
-    CAP = 256
+def case(H, W, N, CAP, n_it=50):
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     mean2d = jax.random.uniform(k1, (N, 2)) * jnp.array([W * 1.0, H * 1.0])
@@ -35,12 +32,16 @@ def main():
     depth = 1.0 + jax.random.uniform(k3, (N,))
     valid = jax.random.uniform(jax.random.PRNGKey(1), (N,)) > 0.1
 
+    print(f"--- {H}x{W}, N={N}, capacity={CAP} ---")
     for method in ("onehot", "topk"):
         fn = jax.jit(lambda m, r, d, v: binning.bin_gaussians(
             m, r, d, v, (H, W), capacity=CAP, method=method))
-        out = fn(mean2d, radius, depth, valid)
-        jax.block_until_ready(out)
-        n_it = 100
+        try:
+            out = fn(mean2d, radius, depth, valid)
+            jax.block_until_ready(out)
+        except Exception as e:
+            print(f"{method}: FAILED ({str(e)[:120]})")
+            continue
         t0 = time.perf_counter()
         for _ in range(n_it):
             out = fn(mean2d, radius, depth, valid)
@@ -49,6 +50,11 @@ def main():
         print(f"{method}: {dt*1e3:.3f} ms/call  "
               f"(counts sum {int(out.counts.sum())}, "
               f"overflow {int(out.overflow)})")
+
+
+def main():
+    case(240, 320, 5120, 256)            # bench.py scale
+    case(384, 512, 131072, 512, n_it=5)  # realistic TUM mapping scale
 
 
 if __name__ == "__main__":

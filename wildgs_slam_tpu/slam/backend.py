@@ -78,12 +78,7 @@ class Backend:
                             max_factors=max_factors,
                             pmax=self.state.store.poses.shape[0])
         if local_graph is not None:
-            graph.ii = local_graph.ii.copy()
-            graph.jj = local_graph.jj.copy()
-            graph.age = local_graph.age.copy()
-            graph.net = local_graph.net
-            graph.target = local_graph.target
-            graph.weight = local_graph.weight
+            graph.adopt_edges(local_graph)
         left = max_factors - len(graph.ii)
         n_edges = self.backend_ba(t_start, t_end, steps, graph,
                                   self.loop_nms, self.loop_radius,

@@ -8,7 +8,14 @@ system. The reference mutates dynamic torch tensors per edge operation; here:
     sequential (the reference also runs proposal in Python,
     factor_graph.py:325-465).
   - Edge STATE (GRU hidden, target, weight, correlation pyramids) lives on
-    device, exactly sized, compacted on removal by gather.
+    device in FIXED-CAPACITY storage with a live count: adds write bucketed
+    blocks at the live offset, removals compact through a full-capacity
+    permutation gather. Every device op therefore has one of a handful of
+    static shapes. This matters enormously under remote compilation: the
+    round-1 design grew/shrank these arrays eagerly per keyframe, and every
+    new shape cost a fresh (minutes-long) remote XLA compile — the
+    full-pipeline profile measured 152 s/frame of pure compile churn in the
+    frontend.
   - The HOT LOOP (reproject -> corr lookup -> GRU update -> DBA -> upsample;
     factor_graph.py:218-263) is ONE jitted function over fixed-capacity
     padded arrays, bucketed to limit recompiles.
@@ -162,8 +169,18 @@ def _lowmem_gru_core(params, poses, disps, intrinsics, p0, p1, p2, p3,
     return net2, target2, weight2, eta_new, has_edge
 
 
+def _next_cap(n: int) -> int:
+    return _bucket(max(n, 8))
+
+
 class FactorGraph:
-    """Host orchestrator owning edge topology + device edge state."""
+    """Host orchestrator owning edge topology + fixed-capacity device state.
+
+    Device arrays (`net/inp/target/weight/corr_pyr` and the inactive
+    `target_inac/weight_inac`) have CAPACITY rows; rows < len(self.ii)
+    (resp. len(self.ii_inac)) are live, the rest are scratch. Capacities are
+    always bucket values, so every slice/gather/update below compiles a
+    bounded number of times."""
 
     def __init__(self, state, params, corr_impl="volume", max_factors=-1,
                  pmax=96, inac_cap=96, group_degree=16):
@@ -172,7 +189,6 @@ class FactorGraph:
         self.corr_impl = corr_impl
         self.max_factors = max_factors
         self.pmax = pmax
-        self.inac_cap = inac_cap
         self.group_degree = group_degree
 
         store = state.store
@@ -186,17 +202,71 @@ class FactorGraph:
         self.ii_inac = np.zeros(0, np.int64)
         self.jj_inac = np.zeros(0, np.int64)
 
-        E0 = 0
-        self.net = jnp.zeros((E0, self.h, self.w, 128))
-        self.inp = jnp.zeros((E0, self.h, self.w, 128))
-        self.target = jnp.zeros((E0, self.h, self.w, 2))
-        self.weight = jnp.zeros((E0, self.h, self.w, 2))
-        self.corr_pyr = None  # list of 4 arrays (E, hw, h2, w2)
-        self.target_inac = jnp.zeros((0, self.h, self.w, 2))
-        self.weight_inac = jnp.zeros((0, self.h, self.w, 2))
+        self.cap = _next_cap(max_factors if max_factors > 0 else 64)
+        self.inac_cap = _next_cap(inac_cap)
+        z = lambda *s: jnp.zeros(s)
+        self.net = z(self.cap, self.h, self.w, 128)
+        self.inp = z(self.cap, self.h, self.w, 128)
+        self.target = z(self.cap, self.h, self.w, 2)
+        self.weight = z(self.cap, self.h, self.w, 2)
+        self.corr_pyr = None  # list of 4 (cap, hw, h2, w2) once edges exist
+        self.target_inac = z(self.inac_cap, self.h, self.w, 2)
+        self.weight_inac = z(self.inac_cap, self.h, self.w, 2)
 
         B = store.poses.shape[0]
         self.damping = 1e-6 * jnp.ones((B, self.h, self.w))
+
+    # ------------------------------------------------------------------
+    # fixed-capacity storage helpers
+    # ------------------------------------------------------------------
+
+    @property
+    def E(self) -> int:
+        return int(self.ii.shape[0])
+
+    def _grow(self, attr_names, cap_attr, need):
+        cap = getattr(self, cap_attr)
+        if need <= cap:
+            return
+        new_cap = _next_cap(need)
+        for name in attr_names:
+            a = getattr(self, name)
+            if a is None:
+                continue
+            if isinstance(a, list):
+                a = [jnp.concatenate(
+                    [c, jnp.zeros((new_cap - cap,) + c.shape[1:], c.dtype)],
+                    0) for c in a]
+            else:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((new_cap - cap,) + a.shape[1:], a.dtype)],
+                    0)
+            setattr(self, name, a)
+        setattr(self, cap_attr, new_cap)
+
+    @staticmethod
+    def _write(dst, src, offset):
+        """Write a bucketed block at a row offset (one static shape per
+        (capacity, bucket) pair). Rows past the live count are scratch, so
+        overshooting with padding is harmless; caller guarantees
+        offset + len(src) <= capacity (dynamic_update_slice clamps)."""
+        return jax.lax.dynamic_update_slice(
+            dst, src.astype(dst.dtype), (offset,) + (0,) * (dst.ndim - 1))
+
+    def _compact(self, keep_mask):
+        """Permutation moving kept rows to the front (full-capacity gather —
+        a single static shape regardless of how many rows are removed)."""
+        keep_idx = np.where(keep_mask)[0]
+        rest = np.where(~keep_mask)[0]
+        perm = np.concatenate([keep_idx, rest,
+                               np.arange(len(keep_mask), self.cap)])
+        permj = jnp.asarray(perm)
+        self.net = self.net[permj]
+        self.inp = self.inp[permj]
+        self.target = self.target[permj]
+        self.weight = self.weight[permj]
+        if self.corr_pyr is not None:
+            self.corr_pyr = [c[permj] for c in self.corr_pyr]
 
     # ------------------------------------------------------------------
     # edge management (host)
@@ -224,55 +294,67 @@ class FactorGraph:
             self.rm_factors(ix >= self.max_factors - ii.shape[0], store=True)
 
         store = self.state.store
-        net = store.nets[ii]
-        inp = store.inps[ii]
+        E0 = self.E
+        E_new = ii.shape[0]
+        b = _bucket(E_new)
+        self._grow(("net", "inp", "target", "weight", "corr_pyr"),
+                   "cap", E0 + b)
+        # pad the new-edge block to its bucket (pad rows land in scratch)
+        ii_p = jnp.asarray(np.concatenate(
+            [ii, np.full(b - E_new, ii[0], np.int64)]))
+        jj_p = jnp.asarray(np.concatenate(
+            [jj, np.full(b - E_new, jj[0], np.int64)]))
+
+        off = jnp.int32(E0)
+        self.net = self._write(self.net, store.nets[ii_p], off)
+        self.inp = self._write(self.inp, store.inps[ii_p], off)
 
         if self.corr_impl == "volume":
-            f1 = store.fmaps[ii]
-            f2 = store.fmaps[jj]
-            pyr = correlation.corr_pyramid(f1, f2)
+            pyr = correlation.corr_pyramid(store.fmaps[ii_p],
+                                           store.fmaps[jj_p])
             if self.corr_pyr is None:
-                self.corr_pyr = pyr
-            else:
-                self.corr_pyr = [jnp.concatenate([a, b], 0)
-                                 for a, b in zip(self.corr_pyr, pyr)]
+                self.corr_pyr = [
+                    jnp.zeros((self.cap,) + p.shape[1:], p.dtype)
+                    for p in pyr]
+            self.corr_pyr = [self._write(c, p, off)
+                             for c, p in zip(self.corr_pyr, pyr)]
 
-        target, _ = kstore.reproject(store, jnp.asarray(ii), jnp.asarray(jj))
-        weight = jnp.zeros_like(target)
+        target, _ = kstore.reproject(store, ii_p, jj_p)
+        self.target = self._write(self.target, target, off)
+        self.weight = self._write(self.weight, jnp.zeros_like(target), off)
 
         self.ii = np.concatenate([self.ii, ii])
         self.jj = np.concatenate([self.jj, jj])
         self.age = np.concatenate([self.age, np.zeros_like(ii)])
-        self.net = jnp.concatenate([self.net, net], 0)
-        self.inp = jnp.concatenate([self.inp, inp], 0)
-        self.target = jnp.concatenate([self.target, target], 0)
-        self.weight = jnp.concatenate([self.weight, weight], 0)
 
     def rm_factors(self, mask, store=False):
         mask = np.asarray(mask, bool)
-        if mask.sum() == 0:
+        n_rm = int(mask.sum())
+        if n_rm == 0:
             return
         if store:
+            rm_idx = np.where(mask)[0]
+            b = _bucket(n_rm)
+            rm_p = jnp.asarray(np.concatenate(
+                [rm_idx, np.full(b - n_rm, rm_idx[0])]))
+            I0 = len(self.ii_inac)
+            self._grow(("target_inac", "weight_inac"), "inac_cap", I0 + b)
+            off = jnp.int32(I0)
+            self.target_inac = self._write(self.target_inac,
+                                           self.target[rm_p], off)
+            self.weight_inac = self._write(self.weight_inac,
+                                           self.weight[rm_p], off)
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[mask]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[mask]])
-            self.target_inac = jnp.concatenate(
-                [self.target_inac, self.target[mask]], 0)
-            self.weight_inac = jnp.concatenate(
-                [self.weight_inac, self.weight[mask]], 0)
         keep = ~mask
         self.ii, self.jj, self.age = (self.ii[keep], self.jj[keep],
                                       self.age[keep])
-        keep_j = jnp.asarray(np.where(keep)[0])
-        self.net = self.net[keep_j]
-        self.inp = self.inp[keep_j]
-        self.target = self.target[keep_j]
-        self.weight = self.weight[keep_j]
-        if self.corr_pyr is not None:
-            self.corr_pyr = [c[keep_j] for c in self.corr_pyr]
+        self._compact(keep)
 
     def filter_edges(self):
         """Remove low-confidence long-range edges (factor_graph.py:69-76)."""
-        conf = np.asarray(jnp.mean(self.weight, axis=(1, 2, 3)))
+        b = _bucket(max(self.E, 1))
+        conf = np.asarray(jnp.mean(self.weight[:b], axis=(1, 2, 3)))[:self.E]
         mask = (np.abs(self.ii - self.jj) > 2) & (conf < 0.001)
         self.ii_bad = np.concatenate([self.ii_bad, self.ii[mask]])
         self.jj_bad = np.concatenate([self.jj_bad, self.jj[mask]])
@@ -288,11 +370,14 @@ class FactorGraph:
         self.jj_inac = np.where(self.jj_inac >= ix, self.jj_inac - 1,
                                 self.jj_inac)
         if m.any():
-            keep = jnp.asarray(np.where(~m)[0])
+            keep_idx = np.where(~m)[0]
+            rest = np.where(m)[0]
+            perm = jnp.asarray(np.concatenate(
+                [keep_idx, rest, np.arange(len(m), self.inac_cap)]))
+            self.target_inac = self.target_inac[perm]
+            self.weight_inac = self.weight_inac[perm]
             self.ii_inac = self.ii_inac[~m]
             self.jj_inac = self.jj_inac[~m]
-            self.target_inac = self.target_inac[keep]
-            self.weight_inac = self.weight_inac[keep]
 
         m = (self.ii == ix) | (self.jj == ix)
         self.ii = np.where(self.ii >= ix, self.ii - 1, self.ii)
@@ -303,18 +388,14 @@ class FactorGraph:
     # update (jitted core)
     # ------------------------------------------------------------------
 
-    def _padded_edges(self, arrs, ii, jj, cap):
+    def _padded_edges(self, ii, jj, cap):
+        """Pad the live edge id lists to `cap` (host-side, tiny)."""
         E = ii.shape[0]
         pad = cap - E
-        out = []
-        for a in arrs:
-            out.append(jnp.concatenate(
-                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
-                if pad > 0 else a[:cap])
         iip = np.concatenate([ii, np.zeros(pad, np.int64)])[:cap]
         jjp = np.concatenate([jj, np.zeros(pad, np.int64)])[:cap]
         valid = np.arange(cap) < E
-        return out, iip, jjp, valid
+        return iip, jjp, valid
 
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False,
                motion_only=False):
@@ -324,21 +405,24 @@ class FactorGraph:
         F = store.poses.shape[0]
 
         cap = _bucket(self.ii.shape[0])
-        (net, inp, target, weight, c0, c1, c2, c3), iip, jjp, valid = \
-            self._padded_edges(
-                [self.net, self.inp, self.target, self.weight,
-                 *self.corr_pyr], self.ii, self.jj, cap)
+        net, inp, target, weight = (self.net[:cap], self.inp[:cap],
+                                    self.target[:cap], self.weight[:cap])
+        c0, c1, c2, c3 = [c[:cap] for c in self.corr_pyr]
+        iip, jjp, valid = self._padded_edges(self.ii, self.jj, cap)
 
         if use_inactive and self.ii_inac.shape[0] > 0:
             tmin = max(1, int(self.ii.min()) + 1) if t0 is None else t0
             m = (self.ii_inac >= tmin - 3) & (self.jj_inac >= tmin - 3)
         else:
             m = np.zeros(self.ii_inac.shape[0], bool)
-        icap = _bucket(max(int(m.sum()), 1))
-        (itgt, iwgt), iii, ijj, ivalid = self._padded_edges(
-            [self.target_inac[jnp.asarray(np.where(m)[0])],
-             self.weight_inac[jnp.asarray(np.where(m)[0])]],
-            self.ii_inac[m], self.jj_inac[m], icap)
+        sel = np.where(m)[0]
+        icap = _bucket(max(len(sel), 1))
+        sel_p = jnp.asarray(np.concatenate(
+            [sel, np.zeros(icap - len(sel), np.int64)]))
+        itgt = self.target_inac[sel_p]
+        iwgt = self.weight_inac[sel_p]
+        iii, ijj, ivalid = self._padded_edges(self.ii_inac[m],
+                                              self.jj_inac[m], icap)
 
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
@@ -370,10 +454,11 @@ class FactorGraph:
             metric_depth_reg=self.state.metric_depth_reg,
             uncertainty_aware=self.state.uncertainty_aware)
 
-        E = self.ii.shape[0]
-        self.net = out.net[:E]
-        self.target = out.target[:E]
-        self.weight = out.weight[:E]
+        # write the bucketed block back into fixed storage (rows >= E are
+        # scratch; _update_core keeps pad rows at their input values)
+        self.net = self._write(self.net, out.net, jnp.int32(0))
+        self.target = self._write(self.target, out.target, jnp.int32(0))
+        self.weight = self._write(self.weight, out.weight, jnp.int32(0))
         self.damping = out.damping
         self.state.store = store._replace(
             poses=out.poses, disps=out.disps, disps_up=out.disps_up)
@@ -408,10 +493,12 @@ class FactorGraph:
                     continue
                 sel = np.where(v)[0]
                 cap = _bucket(len(sel))
-                sel_j = jnp.asarray(sel)
-                (net, tgt), iip, jjp, valid = self._padded_edges(
-                    [self.net[sel_j], self.target[sel_j]],
-                    self.ii[sel], self.jj[sel], cap)
+                sel_p = jnp.asarray(np.concatenate(
+                    [sel, np.zeros(cap - len(sel), np.int64)]))
+                net = self.net[sel_p]
+                tgt = self.target[sel_p]
+                iip, jjp, valid = self._padded_edges(self.ii[sel],
+                                                     self.jj[sel], cap)
                 inp = store.inps[jnp.asarray(
                     np.concatenate([self.ii[sel],
                                     np.zeros(cap - len(sel), np.int64)]))]
@@ -421,10 +508,12 @@ class FactorGraph:
                     fpyr[0], fpyr[1], fpyr[2], fpyr[3],
                     net, inp, tgt, jnp.asarray(iip), jnp.asarray(jjp),
                     jnp.asarray(valid), fb, pmax=min(chunk_frames * 2, pmax))
-                # write back (host scatter; chunked so sizes are small)
-                self.net = self.net.at[sel_j].set(net2[:len(sel)])
-                self.target = self.target.at[sel_j].set(tgt2[:len(sel)])
-                self.weight = self.weight.at[sel_j].set(wgt2[:len(sel)])
+                # scatter back; pad rows route to self.cap (dropped)
+                wr = jnp.asarray(np.concatenate(
+                    [sel, np.full(cap - len(sel), self.cap, np.int64)]))
+                self.net = self.net.at[wr].set(net2, mode="drop")
+                self.target = self.target.at[wr].set(tgt2, mode="drop")
+                self.weight = self.weight.at[wr].set(wgt2, mode="drop")
                 fb_frames = fb + np.arange(min(chunk_frames * 2, pmax))
                 fb_frames = np.clip(fb_frames, 0, F - 1)
                 self.damping = self.damping.at[jnp.asarray(fb_frames)].set(
@@ -433,8 +522,8 @@ class FactorGraph:
 
             # full-window BA
             cap = _bucket(self.ii.shape[0])
-            (tgt, wgt), iip, jjp, valid = self._padded_edges(
-                [self.target, self.weight], self.ii, self.jj, cap)
+            tgt, wgt = self.target[:cap], self.weight[:cap]
+            iip, jjp, valid = self._padded_edges(self.ii, self.jj, cap)
             ii_groups = iip * valid + (1 - valid) * -1
             groups = jnp.asarray(dba.make_edge_groups(
                 ii_groups, F, self.group_degree))
@@ -447,14 +536,87 @@ class FactorGraph:
                 uncertainty_aware=self.state.uncertainty_aware, pmax=pmax)
 
     def clear_edges(self):
+        """Drop all live edges (storage stays allocated — rows become
+        scratch; corr volumes are reset so a fresh add_factors rebuilds)."""
         self.ii = np.zeros(0, np.int64)
         self.jj = np.zeros(0, np.int64)
         self.age = np.zeros(0, np.int64)
-        self.net = jnp.zeros((0, self.h, self.w, 128))
-        self.inp = jnp.zeros((0, self.h, self.w, 128))
-        self.target = jnp.zeros((0, self.h, self.w, 2))
-        self.weight = jnp.zeros((0, self.h, self.w, 2))
         self.corr_pyr = None
+
+    def adopt_edges(self, other):
+        """Seed this graph with another graph's live edges (backend.loop_ba
+        copying the frontend's local graph, backend.py:96-104). Device
+        blocks are written into this graph's fixed storage; corr volumes are
+        not copied (loop graphs use the alt on-the-fly correlation)."""
+        self.ii = other.ii.copy()
+        self.jj = other.jj.copy()
+        self.age = other.age.copy()
+        E = self.E
+        if E == 0:
+            return
+        self._grow(("net", "inp", "target", "weight", "corr_pyr"),
+                   "cap", E)
+        b = _bucket(E)
+        off = jnp.int32(0)
+        self.net = self._write(self.net, other.net[:b], off)
+        self.inp = self._write(self.inp, other.inp[:b], off)
+        self.target = self._write(self.target, other.target[:b], off)
+        self.weight = self._write(self.weight, other.weight[:b], off)
+
+    def restore_edge_state(self, net, inp, target, weight, target_inac,
+                           weight_inac):
+        """Load live-row edge state (checkpoint resume): writes the given
+        (E, ...) blocks into fixed-capacity storage and rebuilds corr
+        volumes from the store's fmaps."""
+        E = self.E
+        self._grow(("net", "inp", "target", "weight", "corr_pyr"),
+                   "cap", E)
+        b = _bucket(max(E, 1))
+
+        def blk(a):
+            a = jnp.asarray(a)
+            pad = b - a.shape[0]
+            if pad > 0:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+            return a[:b]
+
+        self.net = self._write(self.net, blk(net), jnp.int32(0))
+        self.inp = self._write(self.inp, blk(inp), jnp.int32(0))
+        self.target = self._write(self.target, blk(target), jnp.int32(0))
+        self.weight = self._write(self.weight, blk(weight), jnp.int32(0))
+
+        I = len(self.ii_inac)
+        self._grow(("target_inac", "weight_inac"), "inac_cap", I)
+        if I > 0:
+            bi = _bucket(I)
+
+            def blki(a):
+                a = jnp.asarray(a)
+                pad = bi - a.shape[0]
+                if pad > 0:
+                    a = jnp.concatenate(
+                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+                return a[:bi]
+
+            self.target_inac = self._write(self.target_inac,
+                                           blki(target_inac), jnp.int32(0))
+            self.weight_inac = self._write(self.weight_inac,
+                                           blki(weight_inac), jnp.int32(0))
+
+        if E > 0 and self.corr_impl == "volume":
+            from ..ops import correlation as corr_mod
+
+            iip, jjp, _ = self._padded_edges(self.ii, self.jj, b)
+            pyr = corr_mod.corr_pyramid(
+                self.state.store.fmaps[jnp.asarray(iip)],
+                self.state.store.fmaps[jnp.asarray(jjp)])
+            if self.corr_pyr is None:
+                self.corr_pyr = [
+                    jnp.zeros((self.cap,) + p.shape[1:], p.dtype)
+                    for p in pyr]
+            self.corr_pyr = [self._write(c, p, jnp.int32(0))
+                             for c, p in zip(self.corr_pyr, pyr)]
 
     # ------------------------------------------------------------------
     # edge proposal (host, numpy — mirrors reference logic)
@@ -468,10 +630,23 @@ class FactorGraph:
         self.add_factors(ii[keep], jj[keep])
 
     def _distance_matrix(self, ii, jj, beta):
+        """Bucketed + chunked frame-distance evaluation: buckets bound the
+        number of (slow, remote) compiles to 4 shapes; the 4096-pair chunk
+        bounds the (pairs, h, w, 4) flow intermediates to ~200MB even for
+        full-buffer proposal grids (350^2 pairs)."""
         store = self.state.store
-        d = kstore.distance(store, self.state.counter, jnp.asarray(ii),
-                            jnp.asarray(jj), beta=beta)
-        return np.array(d)  # writable copy (np.asarray of jax is read-only)
+        n = len(ii)
+        out = np.empty(n, np.float32)
+        CH = 4096
+        for s in range(0, n, CH):
+            e = min(n, s + CH)
+            b = _bucket(e - s, buckets=(64, 256, 1024, 4096))
+            iip = np.concatenate([ii[s:e], np.zeros(b - (e - s), ii.dtype)])
+            jjp = np.concatenate([jj[s:e], np.zeros(b - (e - s), jj.dtype)])
+            d = kstore.distance(store, self.state.counter, jnp.asarray(iip),
+                                jnp.asarray(jjp), beta=beta)
+            out[s:e] = np.asarray(d[: e - s])
+        return out
 
     def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
                               thresh=16.0, remove=False):

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -251,6 +253,7 @@ def _scatter_new(m: GaussianMap, new_params: GaussianParams,
     return GaussianMap(params, aux, AdamState(mu, nu, m.adam.count)), n_dropped
 
 
+@jax.jit
 def extend(m: GaussianMap, new_params: GaussianParams, new_mask: jax.Array,
            kf_id: int | jax.Array):
     """Append new Gaussians (extend_from_pcd, gaussian_model.py:235-258)."""
@@ -280,6 +283,7 @@ def add_densification_stats(m: GaussianMap, mean2d_grad: jax.Array,
     return m._replace(aux=aux)
 
 
+@partial(jax.jit, static_argnames=("max_screen_size",))
 def densify_and_prune(m: GaussianMap, key: jax.Array, max_grad: float,
                       min_opacity: float, extent: float,
                       max_screen_size: float | None,
@@ -324,10 +328,12 @@ def densify_and_prune(m: GaussianMap, key: jax.Array, max_grad: float,
     return m3._replace(aux=aux3), d1 + d2 + d3
 
 
+@jax.jit
 def prune_points(m: GaussianMap, mask: jax.Array) -> GaussianMap:
     return m._replace(aux=m.aux._replace(alive=m.aux.alive & ~mask))
 
 
+@jax.jit
 def reset_opacity(m: GaussianMap, value: float = 0.01) -> GaussianMap:
     """reset_opacity (gaussian_model.py:389-393): set all opacities, zero the
     opacity group's Adam state (replace_tensor_to_optimizer)."""
@@ -341,6 +347,7 @@ def reset_opacity(m: GaussianMap, value: float = 0.01) -> GaussianMap:
     )
 
 
+@jax.jit
 def reset_opacity_nonvisible(m: GaussianMap, visible: jax.Array,
                              value: float = 0.4) -> GaussianMap:
     """reset_opacity_nonvisible (gaussian_model.py:395-402): clamp opacity of

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -85,11 +87,15 @@ def slice_hw(ht: int, wd: int, down_scale: int = 8):
     return sh, sw
 
 
+@partial(jax.jit, static_argnames=("down_scale",))
 def append(store: KeyframeStore, index, timestamp, pose=None, disp=None,
            mono_depth_up=None, fmap=None, net=None, inp=None,
            down_scale: int = 8) -> KeyframeStore:
     """Write keyframe `index` (DepthVideo.__item_setter, depth_video.py:88-133).
-    mono_depth_up is a full-resolution metric DEPTH map (inverted here)."""
+    mono_depth_up is a full-resolution metric DEPTH map (inverted here).
+
+    Jitted (None args select the trace): the eager version cost ~12 remote
+    dispatches of full-buffer copies per frame through the TPU tunnel."""
     upd = {"timestamp": store.timestamp.at[index].set(timestamp)}
     if pose is not None:
         upd["poses"] = store.poses.at[index].set(pose)
@@ -136,7 +142,8 @@ def reproject(store: KeyframeStore, ii, jj):
         store.poses, store.disps, store.intrinsics, ii, jj)
 
 
-def distance(store: KeyframeStore, n_frames: int, ii, jj, beta=0.3,
+@partial(jax.jit, static_argnames=("bidirectional",))
+def distance(store: KeyframeStore, n_frames, ii, jj, beta=0.3,
              bidirectional=True):
     poses = store.poses
     if bidirectional:

@@ -10,6 +10,8 @@ the exact (M, M) version in ops/knn.py.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -17,6 +19,9 @@ from ..ops import knn, lie, sh
 from .gaussian_map import GaussianParams, inverse_sigmoid
 
 
+@partial(jax.jit, static_argnames=("downsample_factor", "num_sh_rest",
+                                   "isotropic", "adaptive_pointsize",
+                                   "max_depth"))
 def seed_gaussians_from_depth(
     key: jax.Array,
     color: jax.Array,        # (H, W, 3) in [0, 1] (exposure-corrected)

@@ -28,28 +28,38 @@ class PoseTrajectoryFiller:
         self.uncer_apply = uncer_apply
         self.train_frac_fix = train_frac_fix
 
-    def _fill(self, timestamps, images):
+    def _interpolate(self, timestamps):
+        """Linear SE3 interpolation between bracketing keyframes
+        (trajectory_filler.py:61-70). Returns (t0, (M, 7) poses)."""
         state = self.state
         store = state.store
         N = state.counter
-        M = len(timestamps)
-        B = store.poses.shape[0]
-        if N + M > B:
-            raise ValueError("buffer too small for trajectory filling batch")
-
         ts = np.asarray(state.timestamps[:N])
         tt = np.asarray(timestamps)
 
         t0 = np.array([max(0, int((ts <= t).sum()) - 1) for t in tt])
         t1 = np.where(t0 < N - 1, t0 + 1, t0)
 
-        # linear SE3 interpolation (trajectory_filler.py:61-70)
         Ps = store.poses
         dt = jnp.asarray(ts[t1] - ts[t0] + 1e-3)
         dP = lie.se3_mul(Ps[jnp.asarray(t1)], lie.se3_inv(Ps[jnp.asarray(t0)]))
         v = lie.se3_log(dP) / dt[:, None]
         w = v * jnp.asarray(tt - ts[t0])[:, None]
         Gs = lie.se3_mul(lie.se3_exp(w), Ps[jnp.asarray(t0)])
+        return t0, t1, Gs
+
+    def _fill(self, timestamps, images):
+        state = self.state
+        store = state.store
+        N = state.counter
+        M = len(timestamps)
+        B = store.poses.shape[0]
+
+        t0, t1, Gs = self._interpolate(timestamps)
+        if N + M > B:
+            # buffer full (every frame became a keyframe): no scratch slots
+            # for motion-only BA — interpolation alone is exact there anyway
+            return np.asarray(Gs)
 
         # append temporarily with fnet features
         for m in range(M):
@@ -82,6 +92,9 @@ class PoseTrajectoryFiller:
 
     def __call__(self, image_stream, stride=1, batch=16):
         """Returns (M, 7) w2c poses for every frame of the stream."""
+        spare = self.state.store.poses.shape[0] - self.state.counter
+        if spare >= 1:
+            batch = min(batch, spare)
         poses = []
         timestamps, images = [], []
         for i in range(0, len(image_stream), stride):

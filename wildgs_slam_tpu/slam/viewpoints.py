@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -48,6 +50,7 @@ def create(capacity: int, ht: int, wd: int, feat_hw=(0, 0), feat_dim=384):
     )
 
 
+@partial(jax.jit, static_argnames=("edge_threshold",))
 def set_view(vs: ViewpointStore, idx, color, depth, w2c, features=None,
              edge_threshold: float = 4.0) -> ViewpointStore:
     """Create/overwrite viewpoint `idx` (Camera.init_from_dataset +

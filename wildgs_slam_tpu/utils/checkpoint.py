@@ -72,10 +72,12 @@ def save_slam_checkpoint(path: str, slam, loop_state: Dict[str, Any]
         for name in ("ii", "jj", "age", "ii_bad", "jj_bad", "ii_inac",
                      "jj_inac"):
             arrays[f"graph/{name}"] = np.asarray(getattr(g, name))
-        for name in ("net", "target", "weight", "target_inac", "weight_inac",
-                     "damping"):
-            arrays[f"graph/{name}"] = _to_numpy(getattr(g, name))
-        arrays["graph/inp"] = _to_numpy(g.inp)
+        E, I = len(g.ii), len(g.ii_inac)
+        for name in ("net", "inp", "target", "weight"):
+            arrays[f"graph/{name}"] = _to_numpy(getattr(g, name)[:E])
+        for name in ("target_inac", "weight_inac"):
+            arrays[f"graph/{name}"] = _to_numpy(getattr(g, name)[:I])
+        arrays["graph/damping"] = _to_numpy(g.damping)
 
     occ = {int(k): np.asarray(v) for k, v in
            mapper.occ_aware_visibility.items()}
@@ -159,24 +161,18 @@ def load_slam_checkpoint(path: str, slam) -> Dict[str, Any]:
         mapper.cam_w2c_old[v] = mapper.vstore.w2c[v]
         mapper.depth_dict[v] = mapper.vstore.depths[v]
 
-    # frontend factor graph
+    # frontend factor graph (corr volumes rebuilt from store.fmaps)
     if "graph/ii" in arrays and getattr(slam.frontend, "graph",
                                         None) is not None:
-        from ..ops import correlation
-
         g = slam.frontend.graph
         for name in ("ii", "jj", "age", "ii_bad", "jj_bad", "ii_inac",
                      "jj_inac"):
             setattr(g, name, arrays[f"graph/{name}"].astype(np.int64))
-        for name in ("net", "inp", "target", "weight", "target_inac",
-                     "weight_inac", "damping"):
-            setattr(g, name, jnp.asarray(arrays[f"graph/{name}"]))
-        if g.ii.shape[0] > 0 and g.corr_impl == "volume":
-            f1 = state.store.fmaps[jnp.asarray(g.ii)]
-            f2 = state.store.fmaps[jnp.asarray(g.jj)]
-            g.corr_pyr = correlation.corr_pyramid(f1, f2)
-        else:
-            g.corr_pyr = None
+        g.damping = jnp.asarray(arrays["graph/damping"])
+        g.restore_edge_state(
+            arrays["graph/net"], arrays["graph/inp"],
+            arrays["graph/target"], arrays["graph/weight"],
+            arrays["graph/target_inac"], arrays["graph/weight_inac"])
 
     slam.frontend.t1 = meta["frontend_t1"]
     slam.frontend.is_initialized = meta["frontend_initialized"]
