@@ -25,6 +25,9 @@ from wildgs_slam_tpu.ops.rasterizer import binning
 
 
 def case(H, W, N, CAP, n_it=50):
+    """Times n_it data-dependent iterations INSIDE one jitted lax.scan —
+    host-loop timings through the remote-TPU tunnel are unreliable (async
+    dispatch artifacts measured 0.1ms..112ms for the same program)."""
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     mean2d = jax.random.uniform(k1, (N, 2)) * jnp.array([W * 1.0, H * 1.0])
@@ -32,24 +35,38 @@ def case(H, W, N, CAP, n_it=50):
     depth = 1.0 + jax.random.uniform(k3, (N,))
     valid = jax.random.uniform(jax.random.PRNGKey(1), (N,)) > 0.1
 
-    print(f"--- {H}x{W}, N={N}, capacity={CAP} ---")
+    print(f"--- {H}x{W}, N={N}, capacity={CAP} ---", flush=True)
     for method in ("onehot", "topk"):
-        fn = jax.jit(lambda m, r, d, v: binning.bin_gaussians(
-            m, r, d, v, (H, W), capacity=CAP, method=method))
+
+        @jax.jit
+        def loop(mean2d, depth):
+            def body(carry, _):
+                m2d, dep = carry
+                bins = binning.bin_gaussians(m2d, radius, dep, valid,
+                                             (H, W), capacity=CAP,
+                                             method=method)
+                # data dependence: outputs perturb the next inputs
+                bump = (bins.counts.sum().astype(jnp.float32) % 7) * 1e-7
+                return (m2d + bump, dep + bump), bins.overflow
+
+            (m2d, dep), ovf = jax.lax.scan(body, (mean2d, depth),
+                                           None, length=n_it)
+            return m2d.sum() + dep.sum(), ovf[-1]
+
         try:
-            out = fn(mean2d, radius, depth, valid)
+            out = loop(mean2d, depth)
             jax.block_until_ready(out)
         except Exception as e:
             print(f"{method}: FAILED ({str(e)[:120]})")
             continue
-        t0 = time.perf_counter()
-        for _ in range(n_it):
-            out = fn(mean2d, radius, depth, valid)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / n_it
-        print(f"{method}: {dt*1e3:.3f} ms/call  "
-              f"(counts sum {int(out.counts.sum())}, "
-              f"overflow {int(out.overflow)})")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = loop(mean2d, depth)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        print(f"{method}: {best / n_it * 1e3:.3f} ms/call  "
+              f"(overflow {int(out[1])})", flush=True)
 
 
 def main():
