@@ -37,30 +37,41 @@ def main():
     means, scales, rots, opac, sh = bench.make_scene(jax.random.PRNGKey(0))
     w2c = lie.se3_identity()
     intr = jnp.array([260.0, 260.0, W / 2, H / 2])
+    # trace the EXACT bench program (bench.py owns the loss/loop config)
+    bench.ITERS = 10
+    import importlib
+    importlib.reload(bench)
+    bench.ITERS = 10
+
+    means, scales, rots, opac, sh = bench.make_scene(jax.random.PRNGKey(0))
     target = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3))
 
     def loss_fn(means, scales, opac, pose_delta):
         out = render(means, scales, rots, opac, sh, w2c, intr, (H, W),
-                     pose_delta=pose_delta, capacity=256, chunk=64)
+                     pose_delta=pose_delta, capacity=192, chunk=64)
         return jnp.mean((out.color - target) ** 2) + 0.01 * jnp.mean(
             out.depth ** 2)
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))
 
     @jax.jit
-    def bench_step(means, scales, opac):
-        loss, (gm_, gs_, go_, gp_) = grad_fn(means, scales, opac, jnp.zeros(6))
-        return (means - 1e-6 * gm_, scales - 1e-6 * gs_, opac - 1e-6 * go_,
-                loss + jnp.sum(gp_ ** 2))
+    def bench_loop(means, scales, opac):
+        def body(carry, _):
+            means, scales, opac, acc = carry
+            loss, (gm_, gs_, go_, gp_) = grad_fn(means, scales, opac,
+                                                 jnp.zeros(6))
+            return (means - 1e-6 * gm_, scales - 1e-6 * gs_,
+                    opac - 1e-6 * go_, acc + loss + jnp.sum(gp_ ** 2)), None
 
-    out = bench_step(means, scales, opac)
+        return jax.lax.scan(body, (means, scales, opac, jnp.float32(0)),
+                            None, length=10)[0]
+
+    out = bench_loop(means, scales, opac)
     jax.block_until_ready(out)
 
     with jax.profiler.trace(outdir):
-        m, sc, op = means, scales, opac
-        for _ in range(10):
-            m, sc, op, acc = bench_step(m, sc, op)
-        jax.block_until_ready(acc)
+        out = bench_loop(means, scales, opac)
+        jax.block_until_ready(out)
 
     summarize(outdir)
 
