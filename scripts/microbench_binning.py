@@ -36,7 +36,7 @@ def case(H, W, N, CAP, n_it=50):
     valid = jax.random.uniform(jax.random.PRNGKey(1), (N,)) > 0.1
 
     print(f"--- {H}x{W}, N={N}, capacity={CAP} ---", flush=True)
-    for method in ("onehot", "topk"):
+    for method in ("onehot", "topk", "sort"):
 
         @jax.jit
         def loop(mean2d, depth):

@@ -137,3 +137,26 @@ def test_binning_topk_matches_onehot():
     np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
     np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
     assert int(a.overflow) == int(b.overflow)
+
+
+def test_binning_sort_matches_onehot():
+    """The duplicate+sort compaction must produce identical tile tables
+    (radii kept small enough that the 4x4-tile window never truncates)."""
+    import numpy as np
+    from wildgs_slam_tpu.ops.rasterizer import binning
+
+    key = jax.random.PRNGKey(15)
+    k1, k2, k3 = jax.random.split(key, 3)
+    N = 900
+    mean2d = jax.random.uniform(k1, (N, 2)) * jnp.array([96.0, 64.0])
+    radius = (1.0 + 7.0 * jax.random.uniform(k2, (N,))).astype(jnp.int32)
+    depth = 1.0 + jax.random.uniform(k3, (N,))
+    valid = jax.random.uniform(jax.random.PRNGKey(16), (N,)) > 0.25
+
+    a = binning.bin_gaussians(mean2d, radius, depth, valid, (64, 96),
+                              capacity=64, method="onehot")
+    b = binning.bin_gaussians(mean2d, radius, depth, valid, (64, 96),
+                              capacity=64, method="sort")
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    assert int(a.overflow) == int(b.overflow)

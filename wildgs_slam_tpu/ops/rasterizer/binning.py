@@ -68,6 +68,55 @@ def bin_gaussians(
     y0 = jnp.floor((smean[:, 1] - srad) / TILE)
     y1 = jnp.floor((smean[:, 1] + srad) / TILE)
 
+    if method == "sort":
+        # CUDA-style duplicate + sort (the radix-sort design of the
+        # reference rasterizer, mapped to one XLA sort): each gaussian emits
+        # up to KW*KW (tile, depth-rank) keys over its bbox window; a global
+        # sort groups them by tile in depth order; per-tile runs are then
+        # read back with plain gathers. Work is O(N·K log(N·K) + T·cap)
+        # instead of the dense methods' O(T·N·cap) compare volume — the
+        # winner at mapping scale (N ~ 1e5).
+        assert (n_tiles + 1) * N < 2 ** 31, "sort keys exceed int32"
+        KW = 4  # bbox window side in tiles; larger gaussians are truncated
+        #         (counted in overflow) — at 16px tiles this covers r<=24..56
+        dy, dx = jnp.meshgrid(jnp.arange(KW), jnp.arange(KW), indexing="ij")
+        dy = dy.reshape(-1)[None, :]
+        dx = dx.reshape(-1)[None, :]
+        ty = y0.astype(jnp.int32)[:, None] + dy       # (N, K)
+        tx = x0.astype(jnp.int32)[:, None] + dx
+        in_bbox = ((tx <= x1.astype(jnp.int32)[:, None])
+                   & (ty <= y1.astype(jnp.int32)[:, None]))
+        in_img = (tx >= 0) & (tx < tw) & (ty >= 0) & (ty < th)
+        ventry = svalid[:, None] & in_bbox & in_img
+        tile = ty * tw + tx
+        rank = jnp.arange(N, dtype=jnp.int32)[:, None]
+        BIG = jnp.int32(2 ** 31 - 1)
+        key = jnp.where(ventry, tile * N + rank, BIG)  # needs T*N < 2^31
+        sk = jnp.sort(key.reshape(-1))
+
+        bounds = jnp.searchsorted(sk, jnp.arange(n_tiles + 1,
+                                                 dtype=jnp.int32) * N)
+        starts, ends = bounds[:-1], bounds[1:]
+        counts_raw = ends - starts
+        counts = jnp.minimum(counts_raw, capacity)
+
+        slot = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+        gidx = jnp.clip(starts[:, None] + slot, 0, N * KW * KW - 1)
+        val = sk[gidx]
+        live = (starts[:, None] + slot < ends[:, None]) & (val < BIG)
+        ids = jnp.where(live, order[jnp.clip(val % N, 0, N - 1)], -1)
+
+        # overflow: per-tile capacity truncation + bbox-window truncation
+        bw = (x1 - x0 + 1).astype(jnp.int32)
+        bh = (y1 - y0 + 1).astype(jnp.int32)
+        n_true = jnp.where(svalid, bw * bh, 0)
+        n_win = jnp.where(svalid, jnp.minimum(bw, KW) * jnp.minimum(bh, KW),
+                          0)
+        overflow = (jnp.sum(jnp.maximum(counts_raw - capacity, 0))
+                    + jnp.sum(n_true - n_win))
+        return TileBins(ids=ids.astype(jnp.int32),
+                        counts=counts.astype(jnp.int32), overflow=overflow)
+
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     ty = (tile_ids // tw).astype(jnp.float32)  # (T,)
     tx = (tile_ids % tw).astype(jnp.float32)

@@ -173,6 +173,12 @@ def _next_cap(n: int) -> int:
     return _bucket(max(n, 8))
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _write_donated(dst, src, offset):
+    return jax.lax.dynamic_update_slice(
+        dst, src, (offset,) + (jnp.int32(0),) * (dst.ndim - 1))
+
+
 class FactorGraph:
     """Host orchestrator owning edge topology + fixed-capacity device state.
 
@@ -225,23 +231,27 @@ class FactorGraph:
         return int(self.ii.shape[0])
 
     def _grow(self, attr_names, cap_attr, need):
+        # volumes are GBs (corr level 0 at cap=96 is 3.6GB for 48x64): grow
+        # one array at a time, dropping the old reference before allocating
+        # the next, to bound the transient HBM spike to one array's worth
         cap = getattr(self, cap_attr)
         if need <= cap:
             return
         new_cap = _next_cap(need)
+
+        def grown(c):
+            return jnp.concatenate(
+                [c, jnp.zeros((new_cap - cap,) + c.shape[1:], c.dtype)], 0)
+
         for name in attr_names:
             a = getattr(self, name)
             if a is None:
                 continue
             if isinstance(a, list):
-                a = [jnp.concatenate(
-                    [c, jnp.zeros((new_cap - cap,) + c.shape[1:], c.dtype)],
-                    0) for c in a]
+                for k in range(len(a)):
+                    a[k] = grown(a[k])      # replace in place, free old
             else:
-                a = jnp.concatenate(
-                    [a, jnp.zeros((new_cap - cap,) + a.shape[1:], a.dtype)],
-                    0)
-            setattr(self, name, a)
+                setattr(self, name, grown(a))
         setattr(self, cap_attr, new_cap)
 
     @staticmethod
@@ -249,9 +259,11 @@ class FactorGraph:
         """Write a bucketed block at a row offset (one static shape per
         (capacity, bucket) pair). Rows past the live count are scratch, so
         overshooting with padding is harmless; caller guarantees
-        offset + len(src) <= capacity (dynamic_update_slice clamps)."""
-        return jax.lax.dynamic_update_slice(
-            dst, src.astype(dst.dtype), (offset,) + (0,) * (dst.ndim - 1))
+        offset + len(src) <= capacity (dynamic_update_slice clamps). The
+        destination is donated — XLA updates the buffer in place instead of
+        copying the (potentially multi-GB) array."""
+        return _write_donated(dst, src.astype(dst.dtype),
+                              jnp.int32(offset))
 
     def _compact(self, keep_mask):
         """Permutation moving kept rows to the front (full-capacity gather —
@@ -266,7 +278,10 @@ class FactorGraph:
         self.target = self.target[permj]
         self.weight = self.weight[permj]
         if self.corr_pyr is not None:
-            self.corr_pyr = [c[permj] for c in self.corr_pyr]
+            for k in range(len(self.corr_pyr)):
+                # element-wise replacement frees each old level before the
+                # next gather allocates (bounds the transient to one level)
+                self.corr_pyr[k] = self.corr_pyr[k][permj]
 
     # ------------------------------------------------------------------
     # edge management (host)
@@ -316,8 +331,8 @@ class FactorGraph:
                 self.corr_pyr = [
                     jnp.zeros((self.cap,) + p.shape[1:], p.dtype)
                     for p in pyr]
-            self.corr_pyr = [self._write(c, p, off)
-                             for c, p in zip(self.corr_pyr, pyr)]
+            for k in range(len(pyr)):
+                self.corr_pyr[k] = self._write(self.corr_pyr[k], pyr[k], off)
 
         target, _ = kstore.reproject(store, ii_p, jj_p)
         self.target = self._write(self.target, target, off)
@@ -615,8 +630,9 @@ class FactorGraph:
                 self.corr_pyr = [
                     jnp.zeros((self.cap,) + p.shape[1:], p.dtype)
                     for p in pyr]
-            self.corr_pyr = [self._write(c, p, jnp.int32(0))
-                             for c, p in zip(self.corr_pyr, pyr)]
+            for k in range(len(pyr)):
+                self.corr_pyr[k] = self._write(self.corr_pyr[k], pyr[k],
+                                               jnp.int32(0))
 
     # ------------------------------------------------------------------
     # edge proposal (host, numpy — mirrors reference logic)
