@@ -41,6 +41,13 @@ N_GAUSS = 5000
 H, W = 240, 320
 ITERS = 50
 TARGET_RAYS_PER_S = 50e6
+# tile-binning method for the hot loop (see ops/rasterizer/binning.py).
+# Measured on v5e at this scale (N=5k): onehot 26.5 Mrays/s, sort 23.0 —
+# the sort method's payload sorts cost more than its gather-based VJP saves
+# below ~1e4 gaussians; at mapping scale (N~1e5) the ranking flips and the
+# mapper defaults to sort. BENCH_BIN_METHOD/BENCH_BIN_KW knobs for A/B runs.
+BIN_METHOD = os.environ.get("BENCH_BIN_METHOD", "onehot")
+BIN_KW = int(os.environ.get("BENCH_BIN_KW", "4"))
 
 
 def make_scene(key):
@@ -65,7 +72,8 @@ def main():
 
     def loss_fn(means, scales, opac, pose_delta):
         out = render(means, scales, rots, opac, sh, w2c, intr, (H, W),
-                     pose_delta=pose_delta, capacity=192, chunk=64)
+                     pose_delta=pose_delta, capacity=192, chunk=64,
+                     bin_method=BIN_METHOD, bin_kw=BIN_KW)
         return jnp.mean((out.color - target) ** 2) + 0.01 * jnp.mean(
             out.depth ** 2)
 

@@ -34,6 +34,9 @@ def main():
     parser.add_argument("--checkpoint_every", type=int, default=0,
                         help="save a resumable checkpoint every N keyframes "
                              "(0 = disabled)")
+    parser.add_argument("--debug", action="store_true",
+                        help="detect-anomaly mode: jax_debug_nans + finite "
+                             "checks at every phase boundary")
     args = parser.parse_args()
 
     from wildgs_slam_tpu.config import load_config
@@ -69,6 +72,8 @@ def main():
 
     if args.checkpoint_every:
         cfg["checkpoint_every"] = args.checkpoint_every
+    if args.debug:
+        cfg.setdefault("debug", {})["detect_anomaly"] = True
     resume_path = None
     if args.resume:
         resume_path = os.path.join(output_dir, "checkpoint.npz")

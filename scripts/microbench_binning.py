@@ -36,15 +36,16 @@ def case(H, W, N, CAP, n_it=50):
     valid = jax.random.uniform(jax.random.PRNGKey(1), (N,)) > 0.1
 
     print(f"--- {H}x{W}, N={N}, capacity={CAP} ---", flush=True)
-    for method in ("onehot", "topk", "sort"):
+    for method in ("onehot", "topk", "sort", "sort_norev"):
 
         @jax.jit
         def loop(mean2d, depth):
             def body(carry, _):
                 m2d, dep = carry
-                bins = binning.bin_gaussians(m2d, radius, dep, valid,
-                                             (H, W), capacity=CAP,
-                                             method=method)
+                bins = binning.bin_gaussians(
+                    m2d, radius, dep, valid, (H, W), capacity=CAP,
+                    method=method.split("_")[0],
+                    with_rev=not method.endswith("norev"))
                 # data dependence: outputs perturb the next inputs
                 bump = (bins.counts.sum().astype(jnp.float32) % 7) * 1e-7
                 return (m2d + bump, dep + bump), bins.overflow

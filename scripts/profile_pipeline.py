@@ -70,7 +70,15 @@ class _ProgressStream:
         return len(self._s)
 
     def __getitem__(self, i):
-        print(f"[profile] frame {i} +{time.time() - self.t0:.0f}s",
+        hbm = ""
+        try:
+            st = jax.devices()[0].memory_stats()
+            hbm = (f"  hbm {st['bytes_in_use'] / 2**30:.2f}"
+                   f"/{st['bytes_limit'] / 2**30:.1f}GB"
+                   f" peak {st.get('peak_bytes_in_use', 0) / 2**30:.2f}GB")
+        except Exception:
+            pass
+        print(f"[profile] frame {i} +{time.time() - self.t0:.0f}s{hbm}",
               flush=True)
         return self._s[i]
 

@@ -82,3 +82,33 @@ def test_background_gradient(scene):
     g1 = jax.grad(loss)(bg)
     g2 = jax.grad(loss_ref)(bg)
     np.testing.assert_allclose(g1, g2, rtol=1e-4)
+
+
+def test_sort_binning_rev_vjp_matches(scene):
+    """bin_method='sort' routes the attrs-table backward through the
+    reverse-index GATHER (_gather_rows_rev) instead of XLA's scatter-add.
+    Forward and every gradient must match the onehot path, including under
+    per-tile capacity truncation (capacity=24 overflows on this scene)."""
+    s = scene
+    H, W = s["H"], s["W"]
+
+    def loss(m, sc, o, pd, method, capacity):
+        out = render_pallas(m, sc, s["rots"], o, s["sh"], s["w2c"],
+                            s["intr"], (H, W), pose_delta=pd,
+                            capacity=capacity, chunk=8, bin_method=method,
+                            bin_kw=6)
+        return (jnp.sum(out.color ** 2) + 0.01 * jnp.sum(out.depth ** 2)
+                + 0.1 * jnp.sum(out.alpha ** 2))
+
+    args = (s["means"], s["scales"], s["opac"], jnp.zeros(6))
+    for capacity in (256, 24):
+        va, ga = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+            *args, "onehot", capacity)
+        vb, gb = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+            *args, "sort", capacity)
+        np.testing.assert_allclose(va, vb, rtol=1e-6)
+        for a, b in zip(ga, gb):
+            d = float(jnp.abs(a - b).max())
+            m = float(jnp.abs(a).max())
+            assert d / (m + 1e-12) < 1e-5, (
+                f"cap={capacity} grad mismatch rel {d / (m + 1e-12)}")

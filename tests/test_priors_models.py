@@ -179,3 +179,59 @@ def test_register_tokens_variant():
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     (patches, cls), = model.apply({"params": params}, x)
     assert patches.shape == (1, 16, 384)  # registers excluded from output
+
+
+def test_metric3d_canonical_protocol():
+    """Metric3DPredictor implements the reference's canonical-camera
+    protocol (metric_depth_estimators.py:116-155): fit into 616x1064,
+    center-pad, crop back, resize to input, fx/1000 de-canonicalization
+    (for a true canonical trunk), clamp to [0, 300]."""
+    import flax.linen as nn
+
+    from wildgs_slam_tpu.models.priors import Metric3DPredictor
+
+    class ConstTrunk(nn.Module):
+        value: float
+
+        @nn.compact
+        def __call__(self, x):
+            # touch a parameter so apply({"params": ...}) has a tree
+            b = self.param("b", lambda k: jnp.zeros(()))
+            return jnp.full(x.shape[:3], self.value) + b
+
+    trunk = ConstTrunk(value=1500.0)
+    params = trunk.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 616, 1064, 3)))["params"]
+
+    img = np.random.RandomState(0).rand(120, 160, 3).astype(np.float32)
+
+    p = Metric3DPredictor("metric3d_vit_small", fx=100.0, trunk=trunk,
+                          trunk_params=params)
+    d = p(img)
+    assert d.shape == (120, 160)
+    np.testing.assert_allclose(d, 150.0, rtol=1e-5)  # 1500 * 100/1000
+
+    p2 = Metric3DPredictor("metric3d_vit_small", fx=500.0, trunk=trunk,
+                           trunk_params=params)
+    d2 = p2(img)
+    np.testing.assert_allclose(d2, 300.0, rtol=1e-5)  # clamped from 750
+
+
+@needs_ref
+def test_fit3d_feature_predictor(tmp_path, torch_dinov2):
+    """Fit3D names map onto the DINOv2 backbone; a saved fit3d checkpoint
+    is picked up and produces the same patch-feature grid as the direct
+    DINOv2 path."""
+    from wildgs_slam_tpu.models.priors import (DinoFeaturePredictor,
+                                               Fit3DFeaturePredictor)
+
+    ck = tmp_path / "fit3d_dinov2_small_fine.pth"
+    torch.save(torch_dinov2.state_dict(), ck)
+    torch.save(torch_dinov2.state_dict(), tmp_path / "dinov2_vits14.pth")
+
+    img = np.random.RandomState(1).rand(56, 70, 3).astype(np.float32)
+    fit = Fit3DFeaturePredictor("dinov2_small_fine", ckpt_dir=str(tmp_path))
+    base = DinoFeaturePredictor("dinov2_vits14", ckpt_dir=str(tmp_path))
+    fa, fb = fit(img), base(img)
+    assert fa.shape == (4, 5, 384)
+    np.testing.assert_allclose(fa, fb, atol=1e-6)

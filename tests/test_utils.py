@@ -128,3 +128,22 @@ def test_align_scale_and_shift():
     w[0] = 0.0
     s2, q2, _ = align_scale_and_shift(pred, target2, w)
     assert abs(float(s2) - 3.0) < 1e-4
+
+
+def test_anomaly_detection_mode():
+    """utils/debug.py: the detect-anomaly analogue raises a named error on
+    non-finite leaves only when armed."""
+    import jax.numpy as jnp
+    import pytest
+
+    from wildgs_slam_tpu.utils import debug
+
+    bad = {"poses": jnp.ones(4), "disps": jnp.array([1.0, jnp.nan])}
+    debug.anomaly_check("phase", bad)  # disabled: no-op
+    debug.enable(debug_nans=False)
+    try:
+        debug.anomaly_check("ok", {"a": jnp.ones(3), "i": jnp.arange(3)})
+        with pytest.raises(debug.AnomalyError, match="phase 'boom'.*disps"):
+            debug.anomaly_check("boom", bad)
+    finally:
+        debug.disable()

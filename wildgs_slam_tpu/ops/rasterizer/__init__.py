@@ -30,6 +30,36 @@ from .composite import RenderOutput, untile
 from .projection import ProjectedGaussians, project_gaussians
 
 
+@jax.custom_vjp
+def _gather_rows_rev(attrs, safe_ids, rev_pos, rev_live):
+    """attrs[safe_ids] with a gather-based backward.
+
+    XLA lowers the natural scatter-add VJP of a row gather serially on TPU
+    (measured 0.45 ms/iter at bench scale). The 'sort' binning emits a
+    reverse index — for each (gaussian, bbox-window slot) the flattened
+    table position it landed at — so the cotangent can instead be GATHERED
+    back: grad_attrs[n] = sum_k live(n,k) * ct_flat[rev_pos[n,k]].
+    """
+    return attrs[safe_ids]
+
+
+def _gather_rows_rev_fwd(attrs, safe_ids, rev_pos, rev_live):
+    return attrs[safe_ids], (rev_pos, rev_live)
+
+
+def _gather_rows_rev_bwd(res, ct):
+    rev_pos, rev_live = res
+    F = ct.shape[-1]
+    ctf = ct.reshape(-1, F)
+    rows = ctf[rev_pos.reshape(-1)]
+    rows = jnp.where(rev_live.reshape(-1, 1), rows, 0.0)
+    ga = rows.reshape(rev_pos.shape[0], rev_pos.shape[1], F).sum(axis=1)
+    return ga, None, None, None
+
+
+_gather_rows_rev.defvjp(_gather_rows_rev_fwd, _gather_rows_rev_bwd)
+
+
 def render(
     means3d: jax.Array,
     scales: jax.Array,
@@ -47,6 +77,8 @@ def render(
     scale_modifier: float = 1.0,
     mean2d_offset: jax.Array | None = None,
     alive: jax.Array | None = None,
+    bin_method: str = "onehot",
+    bin_kw: int = 4,
 ) -> RenderOutput:
     """Render Gaussians into a pinhole camera. All inputs post-activation.
 
@@ -73,6 +105,8 @@ def render(
         valid,
         image_size,
         capacity=capacity,
+        method=bin_method,
+        kw=bin_kw,
     )
 
     tiles_color, tiles_depth, tiles_alpha, n_touched, _ = composite.composite(
@@ -108,6 +142,8 @@ def render_pallas(
     mean2d_offset: jax.Array | None = None,
     alive: jax.Array | None = None,
     interpret: bool | None = None,
+    bin_method: str = "onehot",
+    bin_kw: int = 4,
 ) -> RenderOutput:
     """Fast path: fused Pallas tile compositing (no n_touched — the mapping
     hot loop doesn't need it; use render() for covisibility queries)."""
@@ -128,7 +164,7 @@ def render_pallas(
     bins = bin_gaussians(
         jax.lax.stop_gradient(mean2d), proj.radius,
         jax.lax.stop_gradient(proj.depth), valid, image_size,
-        capacity=capacity)
+        capacity=capacity, method=bin_method, kw=bin_kw)
 
     # ONE lane-packed (N, 16) attribute table -> ONE row gather into the
     # per-tile tables (and one row scatter-add VJP). The round-1 design's
@@ -140,9 +176,14 @@ def render_pallas(
          jnp.zeros((means3d.shape[0], pc.ATTR_F - 10), mean2d.dtype)],
         axis=1)
     safe_ids = jnp.maximum(bins.ids, 0)
+    if bins.rev_pos is not None:
+        tile_attrs = _gather_rows_rev(attrs, safe_ids, bins.rev_pos,
+                                      bins.rev_live)
+    else:
+        tile_attrs = attrs[safe_ids]
     tiles = pc.composite_tiles_pallas(
         binning.num_tiles(image_size)[1], chunk, interpret,
-        bins.counts.astype(jnp.int32), attrs[safe_ids], bg)
+        bins.counts.astype(jnp.int32), tile_attrs, bg)
 
     return RenderOutput(
         color=untile(tiles.color, image_size),

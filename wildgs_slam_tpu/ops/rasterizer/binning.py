@@ -27,6 +27,13 @@ class TileBins(NamedTuple):
     ids: jax.Array        # (num_tiles, capacity) int32 Gaussian ids, -1 pad
     counts: jax.Array     # (num_tiles,) int32 number of live entries
     overflow: jax.Array   # () int32 total dropped entries
+    # reverse index ('sort' method only, else None): for original gaussian n
+    # and bbox-window slot k, the flattened (tile*capacity + slot) position
+    # its table entry landed at. Lets the attrs-gather backward run as a
+    # GATHER of cotangent rows instead of XLA's serial scatter-add (the
+    # round-2 trace put that VJP at 0.45 ms/iter).
+    rev_pos: jax.Array | None = None    # (N, K) int32
+    rev_live: jax.Array | None = None   # (N, K) bool
 
 
 def num_tiles(image_size: tuple[int, int]) -> tuple[int, int]:
@@ -42,21 +49,106 @@ def bin_gaussians(
     image_size: tuple[int, int],
     capacity: int = 1024,
     method: str = "onehot",
+    kw: int = 4,
+    with_rev: bool = True,
 ) -> TileBins:
     """Build per-tile depth-ordered Gaussian id lists.
 
     Args: see ProjectedGaussians; all (N,)-leading.
     method: 'onehot' = cumsum + chunked one-hot matmul scatter (MXU);
-            'topk'   = lax.top_k over rank keys (no (T,N,cap) intermediate).
+            'topk'   = lax.top_k over rank keys (no (T,N,cap) intermediate);
+            'sort'   = CUDA-style duplicate+sort, bbox window `kw` tiles wide
+                       (gaussians spanning more are truncated, counted in
+                       overflow; kw=4 guarantees radius<=16px exact).
     """
     H, W = image_size
     th, tw = num_tiles(image_size)
     n_tiles = th * tw
     N = mean2d.shape[0]
 
+    if method == "sort":
+        # CUDA-style duplicate + sort (the radix-sort design of the
+        # reference rasterizer, mapped onto XLA sorts): each gaussian emits
+        # up to KW*KW (tile, depth) entries over its bbox window; ONE
+        # 3-operand lexicographic lax.sort (tile major, depth minor,
+        # entry-id payload) groups them by tile in front-to-back order, and
+        # per-tile runs are read back with plain gathers. Work is
+        # O(N·K log(N·K) + T·cap) instead of the dense methods' O(T·N·cap)
+        # compare volume — the winner at mapping scale (N ~ 1e5). The
+        # payload sort also yields the reverse index (entry -> table
+        # position) with one more payload sort; a searchsorted over the
+        # N·K entries — the first design — measured ~6x slower than the
+        # whole rasterizer iteration on v5e.
+        KW = kw  # bbox window side in tiles; larger gaussians are truncated
+        #          (counted in overflow)
+        K = KW * KW
+        M = N * K
+        radf = radius.astype(jnp.float32)
+        x0 = jnp.floor((mean2d[:, 0] - radf) / TILE)
+        x1 = jnp.floor((mean2d[:, 0] + radf) / TILE)
+        y0 = jnp.floor((mean2d[:, 1] - radf) / TILE)
+        y1 = jnp.floor((mean2d[:, 1] + radf) / TILE)
+
+        dy, dx = jnp.meshgrid(jnp.arange(KW), jnp.arange(KW), indexing="ij")
+        dy = dy.reshape(-1)[None, :]
+        dx = dx.reshape(-1)[None, :]
+        ty = y0.astype(jnp.int32)[:, None] + dy       # (N, K)
+        tx = x0.astype(jnp.int32)[:, None] + dx
+        in_bbox = ((tx <= x1.astype(jnp.int32)[:, None])
+                   & (ty <= y1.astype(jnp.int32)[:, None]))
+        in_img = (tx >= 0) & (tx < tw) & (ty >= 0) & (ty < th)
+        ventry = valid[:, None] & in_bbox & in_img
+        tile = ty * tw + tx
+
+        tile_flat = jnp.where(ventry, tile, n_tiles).reshape(-1)
+        dep_flat = jnp.where(ventry, depth[:, None],
+                             jnp.inf).reshape(-1).astype(jnp.float32)
+        payload = jnp.arange(M, dtype=jnp.int32)
+        # ties in (tile, depth) break by entry id = gaussian id — the same
+        # stable tie-break as the argsort in the dense methods
+        sk_tile, _, ent = jax.lax.sort((tile_flat, dep_flat, payload),
+                                       num_keys=2)
+
+        bounds = jnp.searchsorted(sk_tile, jnp.arange(n_tiles + 1,
+                                                      dtype=jnp.int32))
+        starts, ends = (bounds[:-1].astype(jnp.int32),
+                        bounds[1:].astype(jnp.int32))
+        counts_raw = ends - starts
+        counts = jnp.minimum(counts_raw, capacity)
+
+        slot = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+        gidx = jnp.clip(starts[:, None] + slot, 0, M - 1)
+        live = ((starts[:, None] + slot < ends[:, None])
+                & (sk_tile[gidx] < n_tiles))
+        ids = jnp.where(live, ent[gidx] // K, -1)
+
+        rev_pos = rev_live = None
+        if with_rev:
+            # inverse permutation of `ent` (ent is a permutation of
+            # arange(M), so sorting it by value carries positions back)
+            _, inv = jax.lax.sort((ent, payload), num_keys=1)
+            pos = inv.reshape(N, K)
+            safe_tile = jnp.clip(tile, 0, n_tiles - 1)
+            rslot = pos - starts[safe_tile]
+            rev_live = ventry & (rslot >= 0) & (rslot < capacity)
+            rev_pos = jnp.where(rev_live, safe_tile * capacity + rslot, 0)
+
+        # overflow: per-tile capacity truncation + bbox-window truncation
+        bw = (x1 - x0 + 1).astype(jnp.int32)
+        bh = (y1 - y0 + 1).astype(jnp.int32)
+        n_true = jnp.where(valid, bw * bh, 0)
+        n_win = jnp.where(valid, jnp.minimum(bw, KW) * jnp.minimum(bh, KW),
+                          0)
+        overflow = (jnp.sum(jnp.maximum(counts_raw - capacity, 0))
+                    + jnp.sum(n_true - n_win))
+        return TileBins(ids=ids.astype(jnp.int32),
+                        counts=counts.astype(jnp.int32), overflow=overflow,
+                        rev_pos=rev_pos, rev_live=rev_live)
+
     # 1. global front-to-back order
     sort_key = jnp.where(valid, depth, jnp.inf)
     order = jnp.argsort(sort_key)  # (N,)
+
     smean = mean2d[order]
     srad = radius[order].astype(jnp.float32)
     svalid = valid[order]
@@ -67,55 +159,6 @@ def bin_gaussians(
     x1 = jnp.floor((smean[:, 0] + srad) / TILE)
     y0 = jnp.floor((smean[:, 1] - srad) / TILE)
     y1 = jnp.floor((smean[:, 1] + srad) / TILE)
-
-    if method == "sort":
-        # CUDA-style duplicate + sort (the radix-sort design of the
-        # reference rasterizer, mapped to one XLA sort): each gaussian emits
-        # up to KW*KW (tile, depth-rank) keys over its bbox window; a global
-        # sort groups them by tile in depth order; per-tile runs are then
-        # read back with plain gathers. Work is O(N·K log(N·K) + T·cap)
-        # instead of the dense methods' O(T·N·cap) compare volume — the
-        # winner at mapping scale (N ~ 1e5).
-        assert (n_tiles + 1) * N < 2 ** 31, "sort keys exceed int32"
-        KW = 4  # bbox window side in tiles; larger gaussians are truncated
-        #         (counted in overflow) — at 16px tiles this covers r<=24..56
-        dy, dx = jnp.meshgrid(jnp.arange(KW), jnp.arange(KW), indexing="ij")
-        dy = dy.reshape(-1)[None, :]
-        dx = dx.reshape(-1)[None, :]
-        ty = y0.astype(jnp.int32)[:, None] + dy       # (N, K)
-        tx = x0.astype(jnp.int32)[:, None] + dx
-        in_bbox = ((tx <= x1.astype(jnp.int32)[:, None])
-                   & (ty <= y1.astype(jnp.int32)[:, None]))
-        in_img = (tx >= 0) & (tx < tw) & (ty >= 0) & (ty < th)
-        ventry = svalid[:, None] & in_bbox & in_img
-        tile = ty * tw + tx
-        rank = jnp.arange(N, dtype=jnp.int32)[:, None]
-        BIG = jnp.int32(2 ** 31 - 1)
-        key = jnp.where(ventry, tile * N + rank, BIG)  # needs T*N < 2^31
-        sk = jnp.sort(key.reshape(-1))
-
-        bounds = jnp.searchsorted(sk, jnp.arange(n_tiles + 1,
-                                                 dtype=jnp.int32) * N)
-        starts, ends = bounds[:-1], bounds[1:]
-        counts_raw = ends - starts
-        counts = jnp.minimum(counts_raw, capacity)
-
-        slot = jnp.arange(capacity, dtype=jnp.int32)[None, :]
-        gidx = jnp.clip(starts[:, None] + slot, 0, N * KW * KW - 1)
-        val = sk[gidx]
-        live = (starts[:, None] + slot < ends[:, None]) & (val < BIG)
-        ids = jnp.where(live, order[jnp.clip(val % N, 0, N - 1)], -1)
-
-        # overflow: per-tile capacity truncation + bbox-window truncation
-        bw = (x1 - x0 + 1).astype(jnp.int32)
-        bh = (y1 - y0 + 1).astype(jnp.int32)
-        n_true = jnp.where(svalid, bw * bh, 0)
-        n_win = jnp.where(svalid, jnp.minimum(bw, KW) * jnp.minimum(bh, KW),
-                          0)
-        overflow = (jnp.sum(jnp.maximum(counts_raw - capacity, 0))
-                    + jnp.sum(n_true - n_win))
-        return TileBins(ids=ids.astype(jnp.int32),
-                        counts=counts.astype(jnp.int32), overflow=overflow)
 
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     ty = (tile_ids // tw).astype(jnp.float32)  # (T,)

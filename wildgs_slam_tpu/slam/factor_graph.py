@@ -59,7 +59,8 @@ class UpdateOut(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("iters", "pmax", "motion_only",
-                                   "metric_depth_reg", "uncertainty_aware"))
+                                   "metric_depth_reg", "uncertainty_aware",
+                                   "cap"))
 def _update_core(params, poses, disps, disps_up, intrinsics, uncert_inv,
                  mono_disps, mono_mask_small,
                  net, inp, target, weight, corr_l0, corr_l1, corr_l2, corr_l3,
@@ -67,11 +68,19 @@ def _update_core(params, poses, disps, disps_up, intrinsics, uncert_inv,
                  inac_target, inac_weight, inac_ii, inac_jj, inac_valid,
                  damping, groups, t0, t1, iters: int, pmax: int,
                  motion_only: bool, metric_depth_reg: bool,
-                 uncertainty_aware: bool):
+                 uncertainty_aware: bool, cap: int | None = None):
     """One FactorGraph.update (factor_graph.py:218-263): GRU step + BA.
 
     All edge arrays padded to capacity; `frame_base` is the minimum frame of
-    the active window (for GraphAgg segment slots)."""
+    the active window (for GraphAgg segment slots). When `cap` is given,
+    the edge/correlation storage arrives at FULL capacity and is sliced to
+    `cap` rows here, inside the jit — an eager `arr[:cap]` at the call site
+    would device-copy the multi-GB corr levels on every update."""
+    if cap is not None:
+        net, inp, target, weight = (net[:cap], inp[:cap], target[:cap],
+                                    weight[:cap])
+        corr_l0, corr_l1, corr_l2, corr_l3 = (
+            corr_l0[:cap], corr_l1[:cap], corr_l2[:cap], corr_l3[:cap])
     F, h, w = disps.shape
     E = ii.shape[0]
 
@@ -265,6 +274,27 @@ class FactorGraph:
         return _write_donated(dst, src.astype(dst.dtype),
                               jnp.int32(offset))
 
+    def _store_corr_chunked(self, store, ii_p, jj_p, off, chunk=8):
+        """Compute + store the corr pyramid for a bucketed edge block in
+        `chunk`-edge slices. One full 64-edge bucket's level-0 volume is
+        2.4GB in f32 at 48x64 — chunking bounds the build transient to
+        chunk/bucket of that, and the pyramid is STORED in bfloat16 (halves
+        the multi-GB resident footprint; the 7x7-window lookup upcasts to
+        f32 when it bilinearly combines, droid_net input precision is
+        unaffected in practice — golden-tested in test_correlation.py)."""
+        b = ii_p.shape[0]
+        if self.corr_pyr is None:
+            self.corr_pyr = [
+                jnp.zeros((self.cap, self.h * self.w,
+                           self.h // 2 ** k, self.w // 2 ** k), jnp.bfloat16)
+                for k in range(4)]
+        for s in range(0, b, chunk):
+            pyr = correlation.corr_pyramid(store.fmaps[ii_p[s:s + chunk]],
+                                           store.fmaps[jj_p[s:s + chunk]])
+            for k in range(len(pyr)):
+                self.corr_pyr[k] = self._write(self.corr_pyr[k], pyr[k],
+                                               off + s)
+
     def _compact(self, keep_mask):
         """Permutation moving kept rows to the front (full-capacity gather —
         a single static shape regardless of how many rows are removed)."""
@@ -325,14 +355,7 @@ class FactorGraph:
         self.inp = self._write(self.inp, store.inps[ii_p], off)
 
         if self.corr_impl == "volume":
-            pyr = correlation.corr_pyramid(store.fmaps[ii_p],
-                                           store.fmaps[jj_p])
-            if self.corr_pyr is None:
-                self.corr_pyr = [
-                    jnp.zeros((self.cap,) + p.shape[1:], p.dtype)
-                    for p in pyr]
-            for k in range(len(pyr)):
-                self.corr_pyr[k] = self._write(self.corr_pyr[k], pyr[k], off)
+            self._store_corr_chunked(store, ii_p, jj_p, int(E0))
 
         target, _ = kstore.reproject(store, ii_p, jj_p)
         self.target = self._write(self.target, target, off)
@@ -420,9 +443,11 @@ class FactorGraph:
         F = store.poses.shape[0]
 
         cap = _bucket(self.ii.shape[0])
-        net, inp, target, weight = (self.net[:cap], self.inp[:cap],
-                                    self.target[:cap], self.weight[:cap])
-        c0, c1, c2, c3 = [c[:cap] for c in self.corr_pyr]
+        # full-capacity handles; _update_core slices to `cap` inside the jit
+        # (an eager [:cap] here would copy the multi-GB corr levels)
+        net, inp, target, weight = (self.net, self.inp, self.target,
+                                    self.weight)
+        c0, c1, c2, c3 = self.corr_pyr
         iip, jjp, valid = self._padded_edges(self.ii, self.jj, cap)
 
         if use_inactive and self.ii_inac.shape[0] > 0:
@@ -467,7 +492,7 @@ class FactorGraph:
             self.damping, groups, t0, t1,
             iters=itrs, pmax=self.pmax, motion_only=motion_only,
             metric_depth_reg=self.state.metric_depth_reg,
-            uncertainty_aware=self.state.uncertainty_aware)
+            uncertainty_aware=self.state.uncertainty_aware, cap=cap)
 
         # write the bucketed block back into fixed storage (rows >= E are
         # scratch; _update_core keeps pad rows at their input values)
@@ -620,19 +645,9 @@ class FactorGraph:
                                            blki(weight_inac), jnp.int32(0))
 
         if E > 0 and self.corr_impl == "volume":
-            from ..ops import correlation as corr_mod
-
             iip, jjp, _ = self._padded_edges(self.ii, self.jj, b)
-            pyr = corr_mod.corr_pyramid(
-                self.state.store.fmaps[jnp.asarray(iip)],
-                self.state.store.fmaps[jnp.asarray(jjp)])
-            if self.corr_pyr is None:
-                self.corr_pyr = [
-                    jnp.zeros((self.cap,) + p.shape[1:], p.dtype)
-                    for p in pyr]
-            for k in range(len(pyr)):
-                self.corr_pyr[k] = self._write(self.corr_pyr[k], pyr[k],
-                                               jnp.int32(0))
+            self._store_corr_chunked(self.state.store, jnp.asarray(iip),
+                                     jnp.asarray(jjp), 0)
 
     # ------------------------------------------------------------------
     # edge proposal (host, numpy — mirrors reference logic)

@@ -92,12 +92,15 @@ def _np_rel_translation_norms(poses):
 # jitted render helpers
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("image_size", "capacity", "chunk"))
-def _render_view(params, alive, w2c, intrinsics, image_size, capacity, chunk):
+@partial(jax.jit, static_argnames=("image_size", "capacity", "chunk",
+                                   "bin_method", "bin_kw"))
+def _render_view(params, alive, w2c, intrinsics, image_size, capacity, chunk,
+                 bin_method="onehot", bin_kw=4):
     return render(
         params.xyz, gm.get_scaling(params), gm.get_rotation_xyzw(params),
         gm.get_opacity(params), gm.get_sh(params), w2c, intrinsics,
-        image_size, alive=alive, capacity=capacity, chunk=chunk)
+        image_size, alive=alive, capacity=capacity, chunk=chunk,
+        bin_method=bin_method, bin_kw=bin_kw)
 
 
 # ---------------------------------------------------------------------------
@@ -161,7 +164,9 @@ def _opt_segment(gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count,
             params.xyz, gm.get_scaling(params), gm.get_rotation_xyzw(params),
             gm.get_opacity(params), gm.get_sh(params), vstore.w2c[idx],
             intrinsics, image_size, alive=gmap.aux.alive, capacity=capacity,
-            chunk=chunk, mean2d_offset=mean2d_offset)
+            chunk=chunk, mean2d_offset=mean2d_offset,
+            bin_method=cfg_static.get("bin_method", "onehot"),
+            bin_kw=cfg_static.get("bin_kw", 4))
         gt = vstore.colors[idx].astype(jnp.float32)
         ref_depth = vstore.depths[idx]
 
@@ -396,6 +401,13 @@ class Mapper:
         self.uncer_nu = jax.tree.map(jnp.zeros_like, uncer_params)
         self.uncer_count = jnp.zeros((), jnp.int32)
 
+        # tile-binning method for the hot render loop: 'sort' (CUDA-style
+        # duplicate+sort, O(N·K log) work) beats the dense O(T·N·cap) methods
+        # once the gaussian count is large; bin_kw bounds the bbox window
+        # (overflow beyond it is surfaced like capacity overflow)
+        self.bin_method = mc.get("bin_method", "sort")
+        self.bin_kw = mc.get("bin_kw", 4)
+
         # loss config for the jitted segment
         self.loss_cfg = dict(
             alpha=tr["alpha"], rgb_boundary_threshold=tr[
@@ -404,6 +416,7 @@ class Mapper:
             lambda_dssim=mc["opt_params"]["lambda_dssim"],
             uncertainty_params=mc["uncertainty_params"],
             opt_params=mc["opt_params"],
+            bin_method=self.bin_method, bin_kw=self.bin_kw,
         )
 
         self.iteration_count = 0
@@ -486,7 +499,8 @@ class Mapper:
     def _render_ntouched(self, video_idx):
         out = _render_view(self.gaussians.params, self.gaussians.aux.alive,
                            self.vstore.w2c[video_idx], self.intrinsics_full,
-                           self.image_size, self.render_list_capacity, 64)
+                           self.image_size, self.render_list_capacity, 64,
+                           bin_method=self.bin_method, bin_kw=self.bin_kw)
         return out.n_touched
 
     def _update_occ_aware_visibility(self, window):
@@ -751,7 +765,8 @@ class Mapper:
             self.intrinsics_full, self.image_size, self.render_list_capacity,
             64, self.mc["Training"]["lr"]["cam_rot_delta"],
             self.mc["Training"]["lr"]["cam_trans_delta"],
-            self.mc["Training"]["rgb_boundary_threshold"])
+            self.mc["Training"]["rgb_boundary_threshold"],
+            bin_method=self.bin_method, bin_kw=self.bin_kw)
 
     def _send_to_gui(self, video_idx):
         """Emit a GaussianPacket snapshot (mapper.py:708-729)."""
@@ -759,7 +774,8 @@ class Mapper:
 
         out = _render_view(self.gaussians.params, self.gaussians.aux.alive,
                            self.vstore.w2c[video_idx], self.intrinsics_full,
-                           self.image_size, self.render_list_capacity, 64)
+                           self.image_size, self.render_list_capacity, 64,
+                           bin_method=self.bin_method, bin_kw=self.bin_kw)
         unc = None
         if self.uncertainty_aware:
             sigma = UncertaintyMLP(
@@ -822,11 +838,11 @@ class Mapper:
 
 
 @partial(jax.jit, static_argnames=("image_size", "capacity", "chunk",
-                                   "iters"))
+                                   "iters", "bin_method", "bin_kw"))
 def _refine_pose_core(params, alive, w2c0, gt_color, grad_mask, uncer_pix,
                       intrinsics, image_size, capacity, chunk,
                       lr_rot, lr_trans, rgb_boundary_threshold,
-                      iters: int = 100):
+                      iters: int = 100, bin_method="onehot", bin_kw=4):
     """MonoGS-style pose refinement (mapper.py:810-917): Adam on the se3
     twist (rho, theta) + exposure; pose re-anchored by exp(delta)·w2c each
     iteration with persistent Adam moments; converged when |delta| < 1e-4."""
@@ -836,7 +852,7 @@ def _refine_pose_core(params, alive, w2c0, gt_color, grad_mask, uncer_pix,
             params.xyz, gm.get_scaling(params), gm.get_rotation_xyzw(params),
             gm.get_opacity(params), gm.get_sh(params), w2c, intrinsics,
             image_size, alive=alive, capacity=capacity, chunk=chunk,
-            pose_delta=delta)
+            pose_delta=delta, bin_method=bin_method, bin_kw=bin_kw)
         return losses.tracking_loss_rgb(
             out.color, gt_color, out.alpha, grad_mask, exposure[0],
             exposure[1], rgb_boundary_threshold, uncertainty_pix=uncer_pix)

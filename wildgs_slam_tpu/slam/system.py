@@ -61,6 +61,13 @@ class SLAM:
                 "if we use uncertainty-aware tracking, we must enable "
                 "uncertainty-aware mapping (slam.py:58-61)")
 
+        # detect-anomaly mode (torch set_detect_anomaly analogue): nan debug
+        # + finite checks at phase boundaries (utils/debug.py)
+        from ..utils import debug as _debug
+
+        _debug.maybe_enable_from_cfg(cfg)
+        self._debug = _debug
+
         self.state = SlamState.create(
             cfg, ht, wd, intr, buffer=cfg["tracking"]["buffer"],
             uncertainty_aware=self.uncertainty_aware,
@@ -185,6 +192,9 @@ class SLAM:
                 force = self.motion_filter.track(float(timestamp), image)
             with TIMER.phase("track.frontend"):
                 self.frontend(force)
+            self._debug.anomaly_check(
+                "track.frontend", self.state.store.poses,
+                self.state.store.disps)
             curr_kf_idx = self.state.counter - 1
 
             if curr_kf_idx != prev_kf_idx and self.frontend.is_initialized:
@@ -201,6 +211,8 @@ class SLAM:
                         prev_ba_idx = curr_kf_idx
                     with TIMER.phase("map.keyframe"):
                         self.mapper.on_keyframe(curr_kf_idx, int(timestamp))
+                    self._debug.anomaly_check(
+                        "map.keyframe", self.mapper.gaussians.params)
             new_kf = curr_kf_idx != prev_kf_idx
             prev_kf_idx = curr_kf_idx
 
