@@ -68,3 +68,35 @@ def test_http_commands(tmp_path):
     assert chan.consume_checkpoint_request()
     assert get("stop")["stop"]
     chan.close()
+
+
+def test_live_map_viewer(tmp_path):
+    """FileGui.push with a map snapshot writes live.html + map.json; the
+    JSON blob round-trips to the exact downsampled point cloud."""
+    import base64
+
+    import numpy as np
+
+    from wildgs_slam_tpu.gui import FileGui, GaussianPacket
+
+    gui = FileGui(str(tmp_path), http_port=12345)
+    H, W, M = 12, 16, 500
+    rng = np.random.RandomState(0)
+    gui.push(GaussianPacket(
+        frame_idx=3,
+        gt_color=rng.rand(H, W, 3), rendered_color=rng.rand(H, W, 3),
+        rendered_depth=rng.rand(H, W), traj_xyz=rng.rand(4, 3),
+        window=[0, 1], n_gaussians=M,
+        map_xyz=rng.rand(M, 3).astype(np.float32),
+        map_rgb=rng.rand(M, 3).astype(np.float32),
+        map_scale=rng.rand(M).astype(np.float32)))
+
+    gdir = tmp_path / "gui"
+    assert (gdir / "live.html").exists()
+    live = (gdir / "live.html").read_text()
+    assert "map.json" in live and "12345/pause" in live
+    m = json.loads((gdir / "map.json").read_text())
+    assert m["n"] == M and m["frame"] == 3
+    pos = np.frombuffer(base64.b64decode(m["pos"]), np.float32)
+    assert pos.shape == (3 * M,) and np.isfinite(pos).all()
+    assert "live.html" in (gdir / "index.html").read_text()

@@ -50,6 +50,10 @@ class GaussianPacket:
     traj_xyz: Optional[np.ndarray] = None      # (N, 3) keyframe centers
     window: list = field(default_factory=list)
     n_gaussians: int = 0
+    # live 3D map snapshot (downsampled; drives gui/live.html)
+    map_xyz: Optional[np.ndarray] = None       # (M, 3)
+    map_rgb: Optional[np.ndarray] = None       # (M, 3) in [0,1]
+    map_scale: Optional[np.ndarray] = None     # (M,)
 
 
 class FileGui:
@@ -89,8 +93,19 @@ class FileGui:
             plt.close(fig)
 
         self._rev += 1
+        if pkt.map_xyz is not None and len(pkt.map_xyz):
+            from .html_viewer import map_snapshot_json, write_live_viewer
+
+            live = os.path.join(self.dir, "live.html")
+            if not os.path.exists(live):
+                write_live_viewer(live, http_port=self.http_port)
+            with open(os.path.join(self.dir, "map.json"), "w") as f:
+                f.write(map_snapshot_json(pkt.map_xyz, pkt.map_rgb,
+                                          pkt.map_scale, pkt.frame_idx,
+                                          self._rev))
         status = (f"frame {pkt.frame_idx} · window {pkt.window} · "
-                  f"{pkt.n_gaussians} gaussians")
+                  f"{pkt.n_gaussians} gaussians · "
+                  f"<a href='live.html' style='color:#6cf'>live 3D map</a>")
         controls = (_CONTROLS_HTTP.replace("{port}", str(self.http_port))
                     if self.http_port else _CONTROLS_FILE)
         with open(os.path.join(self.dir, "index.html"), "w") as f:

@@ -787,6 +787,15 @@ class Mapper:
         traj = np.asarray(
             jax.vmap(lie.se3_inv)(self.vstore.w2c[jnp.asarray(kfs)])[:, :3]
         ) if kfs else None
+        # live 3D map snapshot for gui/live.html (downsampled host copy)
+        from ..ops import sh as sh_utils
+
+        alive = np.asarray(self.gaussians.aux.alive)
+        map_xyz = np.asarray(self.gaussians.params.xyz)[alive]
+        map_rgb = np.asarray(
+            sh_utils.sh_to_rgb(self.gaussians.params.f_dc[:, 0]))[alive]
+        map_scale = np.asarray(
+            gm.get_scaling(self.gaussians.params)).mean(-1)[alive]
         self.gui.push(GaussianPacket(
             frame_idx=video_idx,
             gt_color=np.asarray(self.vstore.colors[video_idx],
@@ -795,7 +804,8 @@ class Mapper:
             rendered_depth=np.asarray(out.depth),
             uncertainty=unc, traj_xyz=traj,
             window=list(self.current_window),
-            n_gaussians=int(gm.num_alive(self.gaussians))))
+            n_gaussians=int(gm.num_alive(self.gaussians)),
+            map_xyz=map_xyz, map_rgb=map_rgb, map_scale=map_scale))
 
     # ------------------------------------------------------------------
     # keyframe re-sync + deformation (mapper.py:365-429)
