@@ -637,10 +637,14 @@ class Mapper:
             self.overflow_events += 1
             self.max_overflow = max(self.max_overflow, ovf)
             if self.overflow_events <= 5 or self.overflow_events % 100 == 0:
-                print(f"[mapper] WARNING: tile-capacity overflow "
+                print(f"[mapper] WARNING: tile-binning overflow "
                       f"({ovf} entries dropped; event #{self.overflow_events}"
                       f"); raise mapping.render_list_capacity "
-                      f"(={self.render_list_capacity})")
+                      f"(={self.render_list_capacity})"
+                      + (f" or mapping.bin_kw (={self.bin_kw}; gaussians "
+                         f"wider than {self.bin_kw} tiles are window-"
+                         f"truncated by bin_method=sort)"
+                         if self.bin_method == "sort" else ""))
         self.iteration_count += K
         self.iters_after_densify += K
         return ls
