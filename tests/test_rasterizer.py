@@ -160,3 +160,61 @@ def test_binning_sort_matches_onehot():
     np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
     np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
     assert int(a.overflow) == int(b.overflow)
+
+
+def test_binning_bsearch_matches_onehot():
+    """The binary-search compaction must produce identical tile tables."""
+    import numpy as np
+    from wildgs_slam_tpu.ops.rasterizer import binning
+
+    key = jax.random.PRNGKey(25)
+    k1, k2, k3 = jax.random.split(key, 3)
+    N = 700
+    mean2d = jax.random.uniform(k1, (N, 2)) * jnp.array([64.0, 48.0])
+    radius = (1.0 + 20.0 * jax.random.uniform(k2, (N,))).astype(jnp.int32)
+    depth = 1.0 + jax.random.uniform(k3, (N,))
+    valid = jax.random.uniform(jax.random.PRNGKey(26), (N,)) > 0.2
+
+    a = binning.bin_gaussians(mean2d, radius, depth, valid, (48, 64),
+                              capacity=64, method="onehot")
+    b = binning.bin_gaussians(mean2d, radius, depth, valid, (48, 64),
+                              capacity=64, method="bsearch")
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    assert int(a.overflow) == int(b.overflow)
+
+
+def test_binning_dense_rev_matches_sort():
+    """onehot_rev / bsearch_rev window-truncated tables + reverse index must
+    match the sort method exactly, and the reverse index must claim every
+    live table slot exactly once (the gather-VJP correctness invariant)."""
+    import numpy as np
+    from wildgs_slam_tpu.ops.rasterizer import binning
+
+    key = jax.random.PRNGKey(35)
+    k1, k2, k3 = jax.random.split(key, 3)
+    N = 600
+    H, W = 64, 96
+    mean2d = jax.random.uniform(k1, (N, 2)) * jnp.array([float(W), float(H)])
+    radius = (1.0 + 30.0 * jax.random.uniform(k2, (N,))).astype(jnp.int32)
+    depth = 1.0 + jax.random.uniform(k3, (N,))
+    valid = jax.random.uniform(jax.random.PRNGKey(36), (N,)) > 0.25
+
+    ref = binning.bin_gaussians(mean2d, radius, depth, valid, (H, W),
+                                capacity=48, method="sort", kw=4)
+    for meth in ("onehot_rev", "bsearch_rev"):
+        b = binning.bin_gaussians(mean2d, radius, depth, valid, (H, W),
+                                  capacity=48, method=meth, kw=4)
+        ids = np.asarray(b.ids)
+        np.testing.assert_array_equal(np.asarray(ref.ids), ids)
+        np.testing.assert_array_equal(np.asarray(ref.counts),
+                                      np.asarray(b.counts))
+        assert int(ref.overflow) == int(b.overflow)
+        rp, rl = np.asarray(b.rev_pos), np.asarray(b.rev_live)
+        flat = ids.reshape(-1)
+        nn, kk = np.nonzero(rl)
+        assert np.all(flat[rp[nn, kk]] == nn), meth
+        claimed = np.zeros(flat.shape[0], np.int32)
+        np.add.at(claimed, rp[nn, kk], 1)
+        assert np.all(claimed[flat >= 0] == 1), meth
+        assert np.all(claimed[flat < 0] == 0), meth
