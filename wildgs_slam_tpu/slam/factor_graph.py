@@ -442,7 +442,12 @@ class FactorGraph:
         store = self.state.store
         F = store.poses.shape[0]
 
-        cap = _bucket(self.ii.shape[0])
+        # floor the active-edge bucket at the steady-state size so the big
+        # _update_core program compiles for ONE cap instead of one per
+        # growth step during initialization (pad edges are masked anyway)
+        floor = min(self.cap,
+                    _bucket(self.max_factors) if self.max_factors > 0 else 8)
+        cap = _bucket(max(self.ii.shape[0], floor))
         # full-capacity handles; _update_core slices to `cap` inside the jit
         # (an eager [:cap] here would copy the multi-GB corr levels)
         net, inp, target, weight = (self.net, self.inp, self.target,
@@ -456,7 +461,10 @@ class FactorGraph:
         else:
             m = np.zeros(self.ii_inac.shape[0], bool)
         sel = np.where(m)[0]
-        icap = _bucket(max(len(sel), 1))
+        # coarse buckets: every new icap value is a fresh _update_core
+        # variant (a ~minutes-long remote compile); the inactive rows are
+        # only (icap, h, w, 2) targets/weights, so overshooting is cheap
+        icap = _bucket(max(len(sel), 1), buckets=(64, 256, 512, 1024))
         sel_p = jnp.asarray(np.concatenate(
             [sel, np.zeros(icap - len(sel), np.int64)]))
         itgt = self.target_inac[sel_p]

@@ -136,6 +136,7 @@ def remove_keyframe(store: KeyframeStore, ix: int) -> KeyframeStore:
     ])
 
 
+@jax.jit
 def reproject(store: KeyframeStore, ii, jj):
     """(depth_video.py:195-203)."""
     return projective.projective_transform(
@@ -191,24 +192,46 @@ def upsample(store: KeyframeStore, ix, upmask) -> KeyframeStore:
 def update_valid_depth_mask(store: KeyframeStore, n_frames: int,
                             multiview_thresh: float, visible_num: int,
                             up=True) -> KeyframeStore:
-    """Two-view consistency depth filter (depth_video.py:407-442)."""
+    """Two-view consistency depth filter (depth_video.py:407-442).
+
+    Runs EVERY frame, so the frame count is bucketed (8-frame steps) and the
+    heavy body is one jitted program per bucket: the round-2 profile showed
+    the original eager body recompiling ~50 tiny remote XLA programs per
+    frame (idx = arange(n_frames) gave every op a new shape each keyframe),
+    which dominated the whole tracking loop over the tunnel."""
+    F = store.poses.shape[0]
+    nb = min(F, -(-max(n_frames, 1) // 8) * 8)
+    return _update_valid_depth_mask_core(
+        store, jnp.int32(n_frames), multiview_thresh,
+        nb=nb, visible_num=visible_num, up=up)
+
+
+@partial(jax.jit, static_argnames=("nb", "visible_num", "up"))
+def _update_valid_depth_mask_core(store: KeyframeStore, n_frames,
+                                  multiview_thresh, nb: int,
+                                  visible_num: int, up: bool):
+    F = store.poses.shape[0]
     disps = store.disps_up if up else store.disps
     scale = 8.0 if up else 1.0
     intr = store.intrinsics * scale
-    idx = jnp.arange(n_frames)
+    idx = jnp.arange(nb)
+    row_valid = idx < n_frames
     depths = 1.0 / jnp.clip(disps[idx], 1e-8)
     thresh = multiview_thresh * depths.mean(axis=(1, 2))
     count = dba.depth_filter_count(store.poses, disps, intr, idx, thresh)
     multiview = count >= visible_num
     d_nan = jnp.where(multiview, depths, jnp.nan)
-    med = jnp.nanmedian(d_nan.reshape(n_frames, -1), axis=1)
+    med = jnp.nanmedian(d_nan.reshape(nb, -1), axis=1)
     med = jnp.nan_to_num(med, nan=jnp.inf)
     masks = multiview & (depths < 3 * med[:, None, None])
+    # rows past n_frames are bucket padding: route them to F (dropped)
+    idx_w = jnp.where(row_valid, idx, F)
     if up:
-        new = store.valid_depth_mask.at[idx].set(masks)
-        return store._replace(valid_depth_mask=new,
-                              dirty=store.dirty.at[idx].set(False))
-    new = store.valid_depth_mask_small.at[idx].set(masks)
+        new = store.valid_depth_mask.at[idx_w].set(masks, mode="drop")
+        return store._replace(
+            valid_depth_mask=new,
+            dirty=store.dirty.at[idx_w].set(False, mode="drop"))
+    new = store.valid_depth_mask_small.at[idx_w].set(masks, mode="drop")
     return store._replace(valid_depth_mask_small=new)
 
 
@@ -230,10 +253,14 @@ def update_uncertainties(store: KeyframeStore, uncer_apply, dino_feats,
     data_rate = 1 + 1 * compute_bias_factor(train_frac_fix, 0.8)
     small = (small - 0.1) * data_rate + 0.1
     inv = jnp.clip(0.5 / small ** 2, 0.0, 1.0)
+    # mode="drop": callers may pad idx past the live frame count (bucketed
+    # shapes keep the per-frame remote-compile count bounded)
     return store._replace(
-        uncertainties_inv=store.uncertainties_inv.at[idx].set(inv))
+        uncertainties_inv=store.uncertainties_inv.at[idx].set(
+            inv, mode="drop"))
 
 
+@jax.jit
 def filter_high_err_mono_depth(store: KeyframeStore, idx: int,
                                ref_frames, dino_feats_idx, dino_feats_refs,
                                sim_threshold: float = 0.9,

@@ -98,18 +98,30 @@ class SLAM:
         self.mapper = Mapper(self.state, cfg,
                              rng_seed=cfg.get("setup_seed", 43))
 
+        mlp = UncertaintyMLP(
+            in_dim=cfg["mapping"]["uncertainty_params"]["feature_dim"])
+        train_frac = cfg["mapping"]["uncertainty_params"]["train_frac_fix"]
+
+        @jax.jit
+        def _uncer_core(uncer_params, store, feats, idx):
+            return kstore.update_uncertainties(
+                store, lambda f: mlp.apply(uncer_params, f), feats, idx,
+                train_frac)
+
         def uncertainty_update():
+            """Refresh BA uncertainty weights. Runs before every BA, so the
+            frame count is bucketed (8-frame steps; pad rows write-dropped)
+            to keep the remote-compile count bounded — an arange(counter)
+            here recompiled the whole MLP+resize chain every keyframe."""
             if not self.uncertainty_aware or self.state.counter == 0:
                 return
             n = self.state.counter
-            feats = jnp.asarray(self.state.dino_feats[:n])
-            mlp = UncertaintyMLP(
-                in_dim=cfg["mapping"]["uncertainty_params"]["feature_dim"])
-            self.state.store = kstore.update_uncertainties(
-                self.state.store,
-                lambda f: mlp.apply(self.mapper.uncer_params, f),
-                feats, jnp.arange(n),
-                cfg["mapping"]["uncertainty_params"]["train_frac_fix"])
+            B = self.state.dino_feats.shape[0]
+            nb = min(B, -(-n // 8) * 8)
+            idx = np.where(np.arange(nb) < n, np.arange(nb), B)
+            self.state.store = _uncer_core(
+                self.mapper.uncer_params, self.state.store,
+                jnp.asarray(self.state.dino_feats[:nb]), jnp.asarray(idx))
 
         self.uncertainty_update = uncertainty_update
         self.backend = Backend(self.state, droid_params, cfg,
