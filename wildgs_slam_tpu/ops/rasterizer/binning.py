@@ -59,9 +59,12 @@ def bin_gaussians(
             'bsearch'= cumsum + per-slot binary search: pos[t, :] is the
                        masked cumsum (monotone), so the c-th live entry is
                        "first n with pos >= c" — ~log2(N) rounds of (T, cap)
-                       take_along_axis gathers replace the one-hot
-                       compaction's (T, N, cap) select-reduce volume
-                       (measured 0.74 ms/iter at bench scale);
+                       take_along_axis gathers instead of the one-hot
+                       compaction's (T, N, cap) select-reduce volume.
+                       NOTE: measured 3.3x SLOWER than 'onehot' on v5e at
+                       bench scale (lane-dim gathers are the TPU slow
+                       path); kept as an O(T·cap·logN) reference point and
+                       for CPU use;
             'topk'   = lax.top_k over rank keys (no (T,N,cap) intermediate);
             'sort'   = CUDA-style duplicate+sort, bbox window `kw` tiles wide
                        (gaussians spanning more are truncated, counted in
