@@ -36,7 +36,10 @@ def case(H, W, N, CAP, n_it=50):
     valid = jax.random.uniform(jax.random.PRNGKey(1), (N,)) > 0.1
 
     print(f"--- {H}x{W}, N={N}, capacity={CAP} ---", flush=True)
-    for method in ("onehot", "topk", "sort", "sort_norev"):
+    for method in ("onehot", "onehot2:32", "onehot2:64", "onehot2:128",
+                   "topk", "sort", "sort_norev"):
+        base_method = method.split("_")[0].split(":")[0]
+        seg_cap = int(method.split(":")[1]) if ":" in method else 64
 
         @jax.jit
         def loop(mean2d, depth):
@@ -44,10 +47,13 @@ def case(H, W, N, CAP, n_it=50):
                 m2d, dep = carry
                 bins = binning.bin_gaussians(
                     m2d, radius, dep, valid, (H, W), capacity=CAP,
-                    method=method.split("_")[0],
+                    method=base_method, seg_cap=seg_cap,
                     with_rev=not method.endswith("norev"))
-                # data dependence: outputs perturb the next inputs
-                bump = (bins.counts.sum().astype(jnp.float32) % 7) * 1e-7
+                # data dependence: outputs perturb the next inputs. MUST
+                # consume ids — a carry that only reads counts/overflow lets
+                # XLA DCE the whole compaction (CLAUDE.md measurement trap).
+                bump = ((bins.counts.sum() + bins.ids.sum())
+                        .astype(jnp.float32) % 7) * 1e-7
                 return (m2d + bump, dep + bump), bins.overflow
 
             (m2d, dep), ovf = jax.lax.scan(body, (mean2d, depth),

@@ -218,3 +218,48 @@ def test_binning_dense_rev_matches_sort():
         np.add.at(claimed, rp[nn, kk], 1)
         assert np.all(claimed[flat >= 0] == 1), meth
         assert np.all(claimed[flat < 0] == 0), meth
+
+
+def test_binning_onehot2_matches_onehot():
+    """The two-stage segmented compaction must produce identical tile tables
+    when no depth-rank band overflows seg_cap (N > one 512 band so stage A
+    really runs multiple bands)."""
+    import numpy as np
+    from wildgs_slam_tpu.ops.rasterizer import binning
+
+    key = jax.random.PRNGKey(45)
+    k1, k2, k3 = jax.random.split(key, 3)
+    N = 1400  # 3 depth-rank bands of 512
+    mean2d = jax.random.uniform(k1, (N, 2)) * jnp.array([128.0, 96.0])
+    radius = (1.0 + 7.0 * jax.random.uniform(k2, (N,))).astype(jnp.int32)
+    depth = 1.0 + jax.random.uniform(k3, (N,))
+    valid = jax.random.uniform(jax.random.PRNGKey(46), (N,)) > 0.2
+
+    a = binning.bin_gaussians(mean2d, radius, depth, valid, (96, 128),
+                              capacity=96, method="onehot")
+    b = binning.bin_gaussians(mean2d, radius, depth, valid, (96, 128),
+                              capacity=96, method="onehot2", seg_cap=64)
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    assert int(a.overflow) == int(b.overflow)
+
+
+def test_binning_onehot2_band_overflow_counted():
+    """A depth-rank band overflowing seg_cap drops entries front-to-back and
+    counts every drop in `overflow` (no silent truncation)."""
+    import numpy as np
+    from wildgs_slam_tpu.ops.rasterizer import binning
+
+    N = 40
+    # all gaussians on the same tile, one band, seg_cap=8 -> 32 dropped
+    mean2d = jnp.tile(jnp.array([[8.0, 8.0]]), (N, 1))
+    radius = jnp.ones((N,), jnp.int32)
+    depth = jnp.arange(N, dtype=jnp.float32) + 1.0
+    valid = jnp.ones((N,), bool)
+
+    b = binning.bin_gaussians(mean2d, radius, depth, valid, (16, 16),
+                              capacity=64, method="onehot2", seg_cap=8)
+    ids = np.asarray(b.ids)[0]
+    assert int(b.counts[0]) == 8
+    np.testing.assert_array_equal(ids[:8], np.arange(8))  # front-to-back
+    assert int(b.overflow) == N - 8
