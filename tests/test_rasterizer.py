@@ -250,8 +250,8 @@ def test_binning_onehot2_band_overflow_counted():
     import numpy as np
     from wildgs_slam_tpu.ops.rasterizer import binning
 
-    N = 40
-    # all gaussians on the same tile, one band, seg_cap=8 -> 32 dropped
+    N = 600  # two 512-rank bands (N <= 512 falls back to plain onehot)
+    # all gaussians on the same tile; each band keeps seg_cap front-to-back
     mean2d = jnp.tile(jnp.array([[8.0, 8.0]]), (N, 1))
     radius = jnp.ones((N,), jnp.int32)
     depth = jnp.arange(N, dtype=jnp.float32) + 1.0
@@ -260,6 +260,9 @@ def test_binning_onehot2_band_overflow_counted():
     b = binning.bin_gaussians(mean2d, radius, depth, valid, (16, 16),
                               capacity=64, method="onehot2", seg_cap=8)
     ids = np.asarray(b.ids)[0]
-    assert int(b.counts[0]) == 8
-    np.testing.assert_array_equal(ids[:8], np.arange(8))  # front-to-back
-    assert int(b.overflow) == N - 8
+    # band 0 (ranks 0..511) keeps 0..7, band 1 (ranks 512..599) keeps
+    # 512..519; stage B concatenates them depth-ordered
+    assert int(b.counts[0]) == 16
+    np.testing.assert_array_equal(ids[:8], np.arange(8))
+    np.testing.assert_array_equal(ids[8:16], 512 + np.arange(8))
+    assert int(b.overflow) == N - 16

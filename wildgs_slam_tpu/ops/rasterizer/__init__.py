@@ -79,6 +79,7 @@ def render(
     alive: jax.Array | None = None,
     bin_method: str = "onehot",
     bin_kw: int = 4,
+    bin_seg_cap: int = 64,
 ) -> RenderOutput:
     """Render Gaussians into a pinhole camera. All inputs post-activation.
 
@@ -107,6 +108,7 @@ def render(
         capacity=capacity,
         method=bin_method,
         kw=bin_kw,
+        seg_cap=bin_seg_cap,
     )
 
     tiles_color, tiles_depth, tiles_alpha, n_touched, _ = composite.composite(
@@ -144,6 +146,7 @@ def render_pallas(
     interpret: bool | None = None,
     bin_method: str = "onehot",
     bin_kw: int = 4,
+    bin_seg_cap: int = 64,
 ) -> RenderOutput:
     """Fast path: fused Pallas tile compositing (no n_touched — the mapping
     hot loop doesn't need it; use render() for covisibility queries)."""
@@ -164,7 +167,8 @@ def render_pallas(
     bins = bin_gaussians(
         jax.lax.stop_gradient(mean2d), proj.radius,
         jax.lax.stop_gradient(proj.depth), valid, image_size,
-        capacity=capacity, method=bin_method, kw=bin_kw)
+        capacity=capacity, method=bin_method, kw=bin_kw,
+        seg_cap=bin_seg_cap)
 
     # ONE lane-packed (N, 16) attribute table -> ONE row gather into the
     # per-tile tables (and one row scatter-add VJP). The round-1 design's

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import keyframe_store as kstore
+from ..utils.profiling import TIMER
 from .factor_graph import FactorGraph
 
 
@@ -83,9 +84,10 @@ class Frontend:
             self.state.store, idx, refs, feats_idx, feats_refs)
 
     def _update_depth_masks(self):
-        self.state.store = kstore.update_valid_depth_mask(
-            self.state.store, self.state.counter, self.multiview_thresh,
-            self.multiview_visible_num)
+        with TIMER.phase("track.fe.depth_masks"):
+            self.state.store = kstore.update_valid_depth_mask(
+                self.state.store, self.state.counter, self.multiview_thresh,
+                self.multiview_visible_num)
 
     def __update(self, force_to_add_keyframe):
         """frontend.py:51-97."""
@@ -93,17 +95,20 @@ class Frontend:
         if self.graph.corr_pyr is not None:
             self.graph.rm_factors(self.graph.age > self.max_age, store=True)
 
-        self.graph.add_proximity_factors(
-            self.t1 - 5, max(self.t1 - self.frontend_window, 0),
-            rad=self.frontend_radius, nms=self.frontend_nms,
-            thresh=self.frontend_thresh, beta=self.beta, remove=True)
+        with TIMER.phase("track.fe.add_proximity"):
+            self.graph.add_proximity_factors(
+                self.t1 - 5, max(self.t1 - self.frontend_window, 0),
+                rad=self.frontend_radius, nms=self.frontend_nms,
+                thresh=self.frontend_thresh, beta=self.beta, remove=True)
 
         for itr in range(self.iters1):
-            self.graph.update(None, None, use_inactive=True)
+            with TIMER.phase("track.fe.graph_update"):
+                self.graph.update(None, None, use_inactive=True)
             if (itr == 1 and not self.cfg.get("fast_mode", False)
                     and self.state.metric_depth_reg
                     and self.state.uncertainty_aware):
-                self._filter_mono_depth(self.t1 - 1)
+                with TIMER.phase("track.fe.mono_filter"):
+                    self._filter_mono_depth(self.t1 - 1)
 
         d = kstore.distance(self.state.store, self.state.counter,
                             jnp.array([self.t1 - 2]), jnp.array([self.t1 - 1]),
@@ -128,7 +133,8 @@ class Frontend:
                 ran_loop = n_edge > 0
             if not ran_loop:
                 for _ in range(self.iters2):
-                    self.graph.update(None, None, use_inactive=True)
+                    with TIMER.phase("track.fe.graph_update"):
+                        self.graph.update(None, None, use_inactive=True)
 
         self._prep_next_slot()
 

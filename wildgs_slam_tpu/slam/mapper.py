@@ -93,14 +93,15 @@ def _np_rel_translation_norms(poses):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("image_size", "capacity", "chunk",
-                                   "bin_method", "bin_kw"))
+                                   "bin_method", "bin_kw",
+                                   "bin_seg_cap"))
 def _render_view(params, alive, w2c, intrinsics, image_size, capacity, chunk,
-                 bin_method="onehot", bin_kw=4):
+                 bin_method="onehot", bin_kw=4, bin_seg_cap=64):
     return render(
         params.xyz, gm.get_scaling(params), gm.get_rotation_xyzw(params),
         gm.get_opacity(params), gm.get_sh(params), w2c, intrinsics,
         image_size, alive=alive, capacity=capacity, chunk=chunk,
-        bin_method=bin_method, bin_kw=bin_kw)
+        bin_method=bin_method, bin_kw=bin_kw, bin_seg_cap=bin_seg_cap)
 
 
 # ---------------------------------------------------------------------------
@@ -166,7 +167,8 @@ def _opt_segment(gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count,
             intrinsics, image_size, alive=gmap.aux.alive, capacity=capacity,
             chunk=chunk, mean2d_offset=mean2d_offset,
             bin_method=cfg_static.get("bin_method", "onehot"),
-            bin_kw=cfg_static.get("bin_kw", 4))
+            bin_kw=cfg_static.get("bin_kw", 4),
+            bin_seg_cap=cfg_static.get("bin_seg_cap", 64))
         gt = vstore.colors[idx].astype(jnp.float32)
         ref_depth = vstore.depths[idx]
 
@@ -407,6 +409,7 @@ class Mapper:
         # (overflow beyond it is surfaced like capacity overflow)
         self.bin_method = mc.get("bin_method", "sort")
         self.bin_kw = mc.get("bin_kw", 4)
+        self.bin_seg_cap = mc.get("bin_seg_cap", 64)
 
         # loss config for the jitted segment
         self.loss_cfg = dict(
@@ -417,6 +420,7 @@ class Mapper:
             uncertainty_params=mc["uncertainty_params"],
             opt_params=mc["opt_params"],
             bin_method=self.bin_method, bin_kw=self.bin_kw,
+            bin_seg_cap=self.bin_seg_cap,
         )
 
         self.iteration_count = 0
@@ -500,7 +504,8 @@ class Mapper:
         out = _render_view(self.gaussians.params, self.gaussians.aux.alive,
                            self.vstore.w2c[video_idx], self.intrinsics_full,
                            self.image_size, self.render_list_capacity, 64,
-                           bin_method=self.bin_method, bin_kw=self.bin_kw)
+                           bin_method=self.bin_method, bin_kw=self.bin_kw,
+            bin_seg_cap=self.bin_seg_cap)
         return out.n_touched
 
     def _update_occ_aware_visibility(self, window):
@@ -770,7 +775,8 @@ class Mapper:
             64, self.mc["Training"]["lr"]["cam_rot_delta"],
             self.mc["Training"]["lr"]["cam_trans_delta"],
             self.mc["Training"]["rgb_boundary_threshold"],
-            bin_method=self.bin_method, bin_kw=self.bin_kw)
+            bin_method=self.bin_method, bin_kw=self.bin_kw,
+            bin_seg_cap=self.bin_seg_cap)
 
     def _send_to_gui(self, video_idx):
         """Emit a GaussianPacket snapshot (mapper.py:708-729)."""
@@ -779,7 +785,8 @@ class Mapper:
         out = _render_view(self.gaussians.params, self.gaussians.aux.alive,
                            self.vstore.w2c[video_idx], self.intrinsics_full,
                            self.image_size, self.render_list_capacity, 64,
-                           bin_method=self.bin_method, bin_kw=self.bin_kw)
+                           bin_method=self.bin_method, bin_kw=self.bin_kw,
+            bin_seg_cap=self.bin_seg_cap)
         unc = None
         if self.uncertainty_aware:
             sigma = UncertaintyMLP(
@@ -852,11 +859,12 @@ class Mapper:
 
 
 @partial(jax.jit, static_argnames=("image_size", "capacity", "chunk",
-                                   "iters", "bin_method", "bin_kw"))
+                                   "iters", "bin_method", "bin_kw",
+                                   "bin_seg_cap"))
 def _refine_pose_core(params, alive, w2c0, gt_color, grad_mask, uncer_pix,
                       intrinsics, image_size, capacity, chunk,
                       lr_rot, lr_trans, rgb_boundary_threshold,
-                      iters: int = 100, bin_method="onehot", bin_kw=4):
+                      iters: int = 100, bin_method="onehot", bin_kw=4, bin_seg_cap=64):
     """MonoGS-style pose refinement (mapper.py:810-917): Adam on the se3
     twist (rho, theta) + exposure; pose re-anchored by exp(delta)·w2c each
     iteration with persistent Adam moments; converged when |delta| < 1e-4."""
@@ -866,7 +874,8 @@ def _refine_pose_core(params, alive, w2c0, gt_color, grad_mask, uncer_pix,
             params.xyz, gm.get_scaling(params), gm.get_rotation_xyzw(params),
             gm.get_opacity(params), gm.get_sh(params), w2c, intrinsics,
             image_size, alive=alive, capacity=capacity, chunk=chunk,
-            pose_delta=delta, bin_method=bin_method, bin_kw=bin_kw)
+            pose_delta=delta, bin_method=bin_method, bin_kw=bin_kw,
+            bin_seg_cap=bin_seg_cap)
         return losses.tracking_loss_rgb(
             out.color, gt_color, out.alpha, grad_mask, exposure[0],
             exposure[1], rgb_boundary_threshold, uncertainty_pix=uncer_pix)
