@@ -28,7 +28,7 @@ import jax
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import jax.numpy as jnp
 
@@ -42,12 +42,15 @@ H, W = 240, 320
 ITERS = 50
 TARGET_RAYS_PER_S = 50e6
 # tile-binning method for the hot loop (see ops/rasterizer/binning.py).
-# Measured on v5e at this scale (N=5k): onehot 26.5 Mrays/s, sort 23.0 —
-# the sort method's payload sorts cost more than its gather-based VJP saves
-# below ~1e4 gaussians; at mapping scale (N~1e5) the ranking flips and the
-# mapper defaults to sort. BENCH_BIN_METHOD/BENCH_BIN_KW knobs for A/B runs.
-BIN_METHOD = os.environ.get("BENCH_BIN_METHOD", "onehot")
+# v5e A/B at this scale (N=5k): onehot2(seg 32) 33.7 Mrays/s end-to-end vs
+# onehot 26.6, sort 23.0 — the two-stage segmented compaction cuts the
+# select-reduce volume ~6x; payload sorts only win at mapping scale (N~1e5,
+# where the mapper defaults to sort). BENCH_BIN_* env knobs for A/B runs.
+BIN_METHOD = os.environ.get("BENCH_BIN_METHOD", "onehot2")
 BIN_KW = int(os.environ.get("BENCH_BIN_KW", "4"))
+# onehot2 band cap: microbench_binning at this scale — onehot 1.51 ms/call,
+# onehot2:32 0.872, onehot2:64 0.907 (sort 1.82, topk 2.64)
+BIN_SEG_CAP = int(os.environ.get("BENCH_BIN_SEG_CAP", "32"))
 
 
 def make_scene(key):
@@ -73,7 +76,8 @@ def main():
     def loss_fn(means, scales, opac, pose_delta):
         out = render(means, scales, rots, opac, sh, w2c, intr, (H, W),
                      pose_delta=pose_delta, capacity=192, chunk=64,
-                     bin_method=BIN_METHOD, bin_kw=BIN_KW)
+                     bin_method=BIN_METHOD, bin_kw=BIN_KW,
+                     bin_seg_cap=BIN_SEG_CAP)
         return jnp.mean((out.color - target) ** 2) + 0.01 * jnp.mean(
             out.depth ** 2)
 

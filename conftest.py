@@ -24,6 +24,6 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
                  ".jax_cache_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -14,6 +14,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from wildgs_slam_tpu.utils.jax_setup import setup_compile_cache
+
+setup_compile_cache()
+
 
 def setup_seed(seed):
     random.seed(seed)

@@ -36,6 +36,7 @@ import numpy as np
 
 from ..models import droid_net
 from ..ops import correlation, dba, projective
+from ..utils.profiling import TIMER
 from . import keyframe_store as kstore
 
 EP_DAMP = 1e-7
@@ -551,11 +552,14 @@ class FactorGraph:
                     np.concatenate([self.ii[sel],
                                     np.zeros(cap - len(sel), np.int64)]))]
                 fb = max(0, int(self.ii[sel].min()))
-                net2, tgt2, wgt2, eta_new, has_edge = _lowmem_gru_core(
-                    self.params, store.poses, store.disps, store.intrinsics,
-                    fpyr[0], fpyr[1], fpyr[2], fpyr[3],
-                    net, inp, tgt, jnp.asarray(iip), jnp.asarray(jjp),
-                    jnp.asarray(valid), fb, pmax=min(chunk_frames * 2, pmax))
+                with TIMER.phase("track.lowmem.gru"):
+                    net2, tgt2, wgt2, eta_new, has_edge = _lowmem_gru_core(
+                        self.params, store.poses, store.disps,
+                        store.intrinsics,
+                        fpyr[0], fpyr[1], fpyr[2], fpyr[3],
+                        net, inp, tgt, jnp.asarray(iip), jnp.asarray(jjp),
+                        jnp.asarray(valid), fb,
+                        pmax=min(chunk_frames * 2, pmax))
                 # scatter back; pad rows route to self.cap (dropped)
                 wr = jnp.asarray(np.concatenate(
                     [sel, np.full(cap - len(sel), self.cap, np.int64)]))
@@ -576,12 +580,13 @@ class FactorGraph:
             groups = jnp.asarray(dba.make_edge_groups(
                 ii_groups, F, self.group_degree))
             eta = 0.2 * self.damping + EP_DAMP
-            self.state.store = kstore.ba(
-                self.state.store, tgt, wgt, eta, jnp.asarray(iip),
-                jnp.asarray(jjp), jnp.asarray(valid), groups, t0, t1,
-                iters=itrs, lm=1e-5, ep=1e-2,
-                metric_depth_reg=self.state.metric_depth_reg,
-                uncertainty_aware=self.state.uncertainty_aware, pmax=pmax)
+            with TIMER.phase("track.lowmem.ba"):
+                self.state.store = kstore.ba(
+                    self.state.store, tgt, wgt, eta, jnp.asarray(iip),
+                    jnp.asarray(jjp), jnp.asarray(valid), groups, t0, t1,
+                    iters=itrs, lm=1e-5, ep=1e-2,
+                    metric_depth_reg=self.state.metric_depth_reg,
+                    uncertainty_aware=self.state.uncertainty_aware, pmax=pmax)
 
     def clear_edges(self):
         """Drop all live edges (storage stays allocated — rows become

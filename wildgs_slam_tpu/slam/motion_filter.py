@@ -20,6 +20,7 @@ import numpy as np
 
 from ..models import droid_net
 from ..ops import correlation, projective
+from ..utils.profiling import TIMER
 from . import keyframe_store as kstore
 
 IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
@@ -82,8 +83,9 @@ class MotionFilter:
     def track(self, tstamp, image) -> bool:
         """image (H, W, 3) float in [0,1]. Returns force_to_add flag."""
         state = self.state
-        img_norm = normalize_image(jnp.asarray(image))
-        gmap = _encode_fmap(self.params, img_norm)
+        with TIMER.phase("track.mf.encode_fmap"):
+            img_norm = normalize_image(jnp.asarray(image))
+            gmap = jax.block_until_ready(_encode_fmap(self.params, img_norm))
 
         force = False
         if state.counter == 0:
@@ -91,8 +93,9 @@ class MotionFilter:
                                   first=True)
             return False
 
-        flow = float(_flow_magnitude(self.params, self.fmap, gmap,
-                                     self.net, self.inp))
+        with TIMER.phase("track.mf.flow"):
+            flow = float(_flow_magnitude(self.params, self.fmap, gmap,
+                                         self.net, self.inp))
         if self.force_every > 0:
             last_t = state.timestamps[state.counter - 1]
             force = (tstamp - last_t) >= self.force_every
@@ -106,17 +109,21 @@ class MotionFilter:
 
     def _append_keyframe(self, tstamp, image, img_norm, gmap, first):
         state = self.state
-        _, net, inp = _encode_all(self.params, img_norm)
+        with TIMER.phase("track.mf.encode_ctx"):
+            _, net, inp = _encode_all(self.params, img_norm)
         self.fmap, self.net, self.inp = gmap, net, inp
 
-        depth = self.depth_fn(image) if self.depth_fn is not None else None
-        dino = self.feat_fn(image) if self.feat_fn is not None else None
+        with TIMER.phase("track.mf.priors"):
+            depth = self.depth_fn(image) if self.depth_fn is not None else None
+            dino = self.feat_fn(image) if self.feat_fn is not None else None
 
         idx = state.counter
-        state.store = kstore.append(
-            state.store, idx, tstamp,
-            pose=(jnp.array([0, 0, 0, 0, 0, 0, 1.0]) if first else None),
-            disp=(jnp.ones_like(state.store.disps[0]) if first else None),
-            mono_depth_up=(jnp.asarray(depth) if depth is not None else None),
-            fmap=gmap, net=net, inp=inp)
-        state.append_host(idx, image, dino, tstamp)
+        with TIMER.phase("track.mf.append"):
+            state.store = kstore.append(
+                state.store, idx, tstamp,
+                pose=(jnp.array([0, 0, 0, 0, 0, 0, 1.0]) if first else None),
+                disp=(jnp.ones_like(state.store.disps[0]) if first else None),
+                mono_depth_up=(jnp.asarray(depth)
+                               if depth is not None else None),
+                fmap=gmap, net=net, inp=inp)
+            state.append_host(idx, image, dino, tstamp)
