@@ -37,9 +37,10 @@ def case(H, W, N, CAP, n_it=50):
 
     print(f"--- {H}x{W}, N={N}, capacity={CAP} ---", flush=True)
     for method in ("onehot", "onehot2:32", "onehot2:64", "onehot2:128",
-                   "topk", "sort", "sort_norev"):
-        base_method = method.split("_")[0].split(":")[0]
+                   "topk", "sort", "sort_norev", "sort@3", "sort@2"):
+        base_method = method.split("_")[0].split(":")[0].split("@")[0]
         seg_cap = int(method.split(":")[1]) if ":" in method else 64
+        kw = int(method.split("@")[1]) if "@" in method else 4
 
         @jax.jit
         def loop(mean2d, depth):
@@ -47,7 +48,7 @@ def case(H, W, N, CAP, n_it=50):
                 m2d, dep = carry
                 bins = binning.bin_gaussians(
                     m2d, radius, dep, valid, (H, W), capacity=CAP,
-                    method=base_method, seg_cap=seg_cap,
+                    method=base_method, seg_cap=seg_cap, kw=kw,
                     with_rev=not method.endswith("norev"))
                 # data dependence: outputs perturb the next inputs. MUST
                 # consume ids — a carry that only reads counts/overflow lets
