@@ -93,7 +93,9 @@ class Frontend:
         """frontend.py:51-97."""
         self.t1 += 1
         if self.graph.corr_pyr is not None:
-            self.graph.rm_factors(self.graph.age > self.max_age, store=True)
+            with TIMER.phase("track.fe.rm_factors"):
+                self.graph.rm_factors(self.graph.age > self.max_age,
+                                      store=True)
 
         with TIMER.phase("track.fe.add_proximity"):
             self.graph.add_proximity_factors(
@@ -110,14 +112,18 @@ class Frontend:
                 with TIMER.phase("track.fe.mono_filter"):
                     self._filter_mono_depth(self.t1 - 1)
 
-        d = kstore.distance(self.state.store, self.state.counter,
-                            jnp.array([self.t1 - 2]), jnp.array([self.t1 - 1]),
-                            beta=self.beta)
-        if (float(d[0]) < self.keyframe_thresh
-                and self.num_keyframes_dropped < self.max_consecutive_drop
-                and not force_to_add_keyframe):
-            self.graph.rm_keyframe(self.t1 - 1)
-            self.state.remove_keyframe_host(self.t1 - 1)
+        with TIMER.phase("track.fe.kf_decision"):
+            d = kstore.distance(self.state.store, self.state.counter,
+                                jnp.array([self.t1 - 2]),
+                                jnp.array([self.t1 - 1]),
+                                beta=self.beta)
+            drop = (float(d[0]) < self.keyframe_thresh
+                    and self.num_keyframes_dropped < self.max_consecutive_drop
+                    and not force_to_add_keyframe)
+        if drop:
+            with TIMER.phase("track.fe.rm_keyframe"):
+                self.graph.rm_keyframe(self.t1 - 1)
+                self.state.remove_keyframe_host(self.t1 - 1)
             self.num_keyframes_dropped += 1
             self.state.counter -= 1
             self.t1 -= 1
@@ -127,16 +133,18 @@ class Frontend:
             ran_loop = False
             if (self.enable_loop and cur_t > self.frontend_window
                     and self.backend is not None):
-                _, n_edge = self.backend.loop_ba(
-                    t_start=0, t_end=cur_t, steps=self.iters2,
-                    motion_only=False, local_graph=self.graph)
+                with TIMER.phase("track.fe.loop_ba"):
+                    _, n_edge = self.backend.loop_ba(
+                        t_start=0, t_end=cur_t, steps=self.iters2,
+                        motion_only=False, local_graph=self.graph)
                 ran_loop = n_edge > 0
             if not ran_loop:
                 for _ in range(self.iters2):
                     with TIMER.phase("track.fe.graph_update"):
                         self.graph.update(None, None, use_inactive=True)
 
-        self._prep_next_slot()
+        with TIMER.phase("track.fe.prep_next"):
+            self._prep_next_slot()
 
     def __initialize(self):
         """frontend.py:99-128."""
@@ -181,6 +189,7 @@ class Frontend:
             self._update_depth_masks()
         elif self.is_initialized and self.t1 < self.state.counter:
             if self.uncertainty_update_fn is not None:
-                self.uncertainty_update_fn()
+                with TIMER.phase("track.fe.uncer_update"):
+                    self.uncertainty_update_fn()
             self.__update(force_to_add_keyframe)
             self._update_depth_masks()

@@ -505,14 +505,15 @@ class Mapper:
                            self.vstore.w2c[video_idx], self.intrinsics_full,
                            self.image_size, self.render_list_capacity, 64,
                            bin_method=self.bin_method, bin_kw=self.bin_kw,
-            bin_seg_cap=self.bin_seg_cap)
+                           bin_seg_cap=self.bin_seg_cap)
         return out.n_touched
 
     def _update_occ_aware_visibility(self, window):
-        self.occ_aware_visibility = {}
-        for kf_idx in window:
-            self.occ_aware_visibility[kf_idx] = self._render_ntouched(
-                kf_idx) > 0
+        with TIMER.phase("map.occ_vis"):
+            self.occ_aware_visibility = {}
+            for kf_idx in window:
+                self.occ_aware_visibility[kf_idx] = self._render_ntouched(
+                    kf_idx) > 0
 
     def _seed_gaussians(self, video_idx, init=False):
         factor = (self.mc["pcd_downsample_init"] if init
@@ -569,32 +570,37 @@ class Mapper:
             # events at the boundary
             if init_phase and (it % self.init_gaussian_update == 0):
                 self.key, k = jax.random.split(self.key)
-                self.gaussians, _ = gm.densify_and_prune(
-                    self.gaussians, k,
-                    self.loss_cfg["opt_params"]["densify_grad_threshold"],
-                    self.init_gaussian_th, self.init_gaussian_extent, None,
-                    self.loss_cfg["opt_params"]["percent_dense"])
+                with TIMER.phase("map.densify"):
+                    self.gaussians, _ = gm.densify_and_prune(
+                        self.gaussians, k,
+                        self.loss_cfg["opt_params"]["densify_grad_threshold"],
+                        self.init_gaussian_th, self.init_gaussian_extent,
+                        None,
+                        self.loss_cfg["opt_params"]["percent_dense"])
                 self.iters_after_densify = 0
                 gaussian_split = True
             elif (not init_phase and self.iteration_count %
                     self.gaussian_update_every == self.gaussian_update_offset):
                 self.key, k = jax.random.split(self.key)
-                self.gaussians, _ = gm.densify_and_prune(
-                    self.gaussians, k,
-                    self.loss_cfg["opt_params"]["densify_grad_threshold"],
-                    self.gaussian_th, self.gaussian_extent,
-                    self.size_threshold,
-                    self.loss_cfg["opt_params"]["percent_dense"])
+                with TIMER.phase("map.densify"):
+                    self.gaussians, _ = gm.densify_and_prune(
+                        self.gaussians, k,
+                        self.loss_cfg["opt_params"]["densify_grad_threshold"],
+                        self.gaussian_th, self.gaussian_extent,
+                        self.size_threshold,
+                        self.loss_cfg["opt_params"]["percent_dense"])
                 self.iters_after_densify = 0
                 gaussian_split = True
             if init_phase and self.iteration_count == self.init_gaussian_reset:
-                self.gaussians = gm.reset_opacity(self.gaussians)
+                with TIMER.phase("map.reset_opacity"):
+                    self.gaussians = gm.reset_opacity(self.gaussians)
                 self.iters_after_densify = 0
             elif (not init_phase
                   and self.iteration_count % self.gaussian_reset == 0):
-                vis = self._render_ntouched(view_pool[-1]) > 0
-                self.gaussians = gm.reset_opacity_nonvisible(
-                    self.gaussians, vis)
+                with TIMER.phase("map.reset_opacity"):
+                    vis = self._render_ntouched(view_pool[-1]) > 0
+                    self.gaussians = gm.reset_opacity_nonvisible(
+                        self.gaussians, vis)
                 self.iters_after_densify = 0
                 gaussian_split = True
         return gaussian_split
