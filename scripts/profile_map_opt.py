@@ -10,7 +10,7 @@ per-op totals so the extra ~50 ms/iter gets named (suspects: SSIM chain,
 uncertainty MLP fwd/bwd, full-carry select at the scan tail, adam over
 131k params, DINO-reg gathers).
 
-Usage: python scripts/profile_map_opt.py [outdir] [K] [n_kf]
+Usage: python scripts/profile_map_opt.py [outdir] [K] [n_kf] [bin_method]
 """
 
 import os
@@ -46,6 +46,7 @@ def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace_mapopt"
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     n_kf = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    bin_method = sys.argv[4] if len(sys.argv) > 4 else None
 
     from wildgs_slam_tpu.config import load_config
     from wildgs_slam_tpu.ops import lie
@@ -61,6 +62,8 @@ def main():
     cfg["mapping"]["gaussian_capacity"] = 131072
     cfg["mapping"]["render_list_capacity"] = 512
     cfg["tracking"]["buffer"] = n_kf + 2
+    if bin_method:
+        cfg["mapping"]["bin_method"] = bin_method
 
     intr = np.array([WD * 1.2, WD * 1.2, WD / 2, HT / 2])
     state = SlamState.create(cfg, HT, WD, intr,

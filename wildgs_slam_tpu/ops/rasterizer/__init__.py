@@ -173,9 +173,10 @@ def render(
         valid,
         image_size,
         capacity=capacity,
-        method=bin_method,
+        method="sort" if bin_method == "sort_norev" else bin_method,
         kw=bin_kw,
         seg_cap=bin_seg_cap,
+        with_rev=bin_method != "sort_norev",
     )
 
     tiles_color, tiles_depth, tiles_alpha, n_touched, _ = composite.composite(
@@ -231,11 +232,21 @@ def render_pallas(
     valid = proj.valid if alive is None else proj.valid & alive
     mean2d = proj.mean2d if mean2d_offset is None else proj.mean2d + mean2d_offset
 
+    # 'sort_norev' = sort binning WITHOUT the reverse index: the rev-gather
+    # backward + inverse-permutation sort + rev_live plumbing measured
+    # ~40 ms/iter of the 68 ms mapping iteration (N=131k trace,
+    # scripts/profile_map_opt.py) while XLA's serial scatter-add costs only
+    # ~3 ms at (T*cap)=393k rows — the rev index only pays off at small N
+    with_rev = True
+    method = bin_method
+    if bin_method == "sort_norev":
+        method, with_rev = "sort", False
+
     bins = bin_gaussians(
         jax.lax.stop_gradient(mean2d), proj.radius,
         jax.lax.stop_gradient(proj.depth), valid, image_size,
-        capacity=capacity, method=bin_method, kw=bin_kw,
-        seg_cap=bin_seg_cap)
+        capacity=capacity, method=method, kw=bin_kw,
+        seg_cap=bin_seg_cap, with_rev=with_rev)
 
     # ONE lane-packed (N, 16) attribute table -> ONE row gather into the
     # per-tile tables (and one row scatter-add VJP). The round-1 design's
