@@ -35,6 +35,7 @@ import jax.numpy as jnp
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 from wildgs_slam_tpu.ops import lie
+from wildgs_slam_tpu.ops.rasterizer import render as render_xla
 from wildgs_slam_tpu.ops.rasterizer import render_pallas as render
 
 N_GAUSS = 5000
@@ -114,11 +115,49 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     rays_per_s = H * W * ITERS / best
+
+    # On-device Pallas correctness gate: the oracle tests in
+    # tests/test_pallas_composite.py run in CPU interpret mode only; this is
+    # the one place the Mosaic-COMPILED kernel is checked against the XLA
+    # composite path on real hardware (same bins -> same compositing math).
+    # Also pulls bins.overflow so the headline number is known-lossless
+    # (onehot2 band truncation drops entries mid-depth-order; see
+    # ops/rasterizer/binning.py TileBins).
+    def _render_pair(kind):
+        fn = render if kind == "pallas" else render_xla
+
+        def loss(means, scales, opac, pd):
+            o = fn(means, scales, rots, opac, sh, w2c, intr, (H, W),
+                   pose_delta=pd, capacity=192, chunk=64,
+                   bin_method=BIN_METHOD, bin_kw=BIN_KW,
+                   bin_seg_cap=BIN_SEG_CAP)
+            return jnp.mean((o.color - target) ** 2), o
+
+        (l, o), g = jax.value_and_grad(loss, argnums=0, has_aux=True)(
+            means, scales, opac, jnp.zeros(6))
+        return o.color, o.depth, o.alpha, g, o.overflow
+
+    import numpy as np
+    pc_, pd_, pa_, pg_, pov = jax.jit(lambda: _render_pair("pallas"))()
+    xc_, xd_, xa_, xg_, _ = jax.jit(lambda: _render_pair("xla"))()
+    checks = [
+        np.allclose(pc_, xc_, atol=2e-4),
+        np.allclose(pd_, xd_, atol=1e-3),
+        np.allclose(pa_, xa_, atol=2e-4),
+        np.allclose(pg_, xg_, rtol=5e-3, atol=1e-7),
+    ]
+    pallas_check = "ok" if all(checks) else (
+        "FAIL:" + ",".join(n for n, c in
+                           zip(("color", "depth", "alpha", "grad"), checks)
+                           if not c))
+
     print(json.dumps({
         "metric": "rasterize_fwd_bwd_pose_grad_5k_320x240",
         "value": round(rays_per_s, 1),
         "unit": "rays/s/chip",
         "vs_baseline": round(rays_per_s / TARGET_RAYS_PER_S, 4),
+        "pallas_check": pallas_check,
+        "bin_overflow": int(pov),
     }))
 
 

@@ -1,8 +1,9 @@
 #!/bin/bash
 # Run all Bonn dynamic scenes.
 set -e
-SCENES=(balloon balloon2 crowd crowd2 crowd3 moving_nonobstructing_box
-        moving_nonobstructing_box2 person_tracking person_tracking2)
+SCENES=(bonn_balloon bonn_balloon2 bonn_crowd bonn_crowd2 bonn_crowd3
+        bonn_moving_nonobstructing_box bonn_moving_nonobstructing_box2
+        bonn_person_tracking bonn_person_tracking2)
 for s in "${SCENES[@]}"; do
   echo "=== $s ==="
   python run.py "configs/Dynamic/Bonn/${s}.yaml" "$@"

@@ -85,11 +85,12 @@ def _gather_rows_mm_fwd(attrs, safe_ids):
 
 
 def _pick_digit(n: int) -> int:
-    # minimize NH + L*F for n = NH*L, F~16: L ~= sqrt(n/16), power of two
+    # minimize NH + L*2F for n = NH*L (the backward stacks hi/lo cotangent
+    # halves on the F axis, so bc is (S, L, 2F)); power-of-two L
     best, bl = None, 1
     for l in (8, 16, 32, 64):
         nh = -(-n // l)
-        cost = nh + l * 16
+        cost = nh + l * 32
         if best is None or cost < best:
             best, bl = cost, l
     return bl
@@ -105,8 +106,10 @@ def _gather_rows_mm_bwd(res, ct):
     hi = (ids // L).astype(jnp.int32)
     lo = (ids - hi * L).astype(jnp.int32)
     # bf16 operands hit the MXU's native rate on TPU; CPU XLA has no
-    # bf16xbf16->f32 dot, so tests fall back to f32 (same math, the hi/lo
-    # split is exact either way)
+    # bf16xbf16->f32 dot, so tests fall back to f32. The hi/lo split bounds
+    # the cotangent rounding error at ~2^-18 relative (the residual is
+    # itself bf16-rounded), not exactly zero — gradient tests at 1e-5 rel
+    # tolerance sit within ~5x of this floor.
     dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     a = (hi[:, None] == jnp.arange(NH, dtype=jnp.int32)[None, :]).astype(
         dt)                                                       # (S, NH)
@@ -263,12 +266,13 @@ def render_pallas(
                                       bins.rev_live)
     else:
         # matmul segment-sum backward when the one-hot build volume is sane
-        # (bench scale: S*(NH+L*F) ~ 33M elems); at mapping scale the sort
-        # binning provides rev_pos and never reaches this branch
+        # (bench scale: S*(NH+L*2F) ~ 38M elems); at mapping scale the sort
+        # binning provides rev_pos and never reaches this branch. 2F because
+        # the backward stacks hi/lo cotangent halves: bc is (S, L, 2F).
         n = attrs.shape[0]
         s = safe_ids.shape[0] * safe_ids.shape[1]
         l = _pick_digit(n)
-        if s * (-(-n // l) + l * pc.ATTR_F) <= 256 * 1024 * 1024:
+        if s * (-(-n // l) + l * 2 * pc.ATTR_F) <= 256 * 1024 * 1024:
             tile_attrs = _gather_rows_mm(attrs, safe_ids)
         else:
             tile_attrs = attrs[safe_ids]

@@ -24,6 +24,12 @@ TILE = 16  # tile side in pixels; 16x16 = 256 px = 2 TPU lanes rows
 
 
 class TileBins(NamedTuple):
+    # NOTE on `overflow` semantics per method: capacity overflow ('onehot',
+    # 'sort', 'topk') drops only the DEEPEST entries of a tile; 'onehot2'
+    # band overflow (a 512-rank depth band exceeding seg_cap in one tile)
+    # drops entries front-to-back WITHIN the band — a dropped nearer gaussian
+    # lets deeper ones composite uncovered. Callers budgeting only for
+    # capacity overflow must still provision seg_cap generously.
     ids: jax.Array        # (num_tiles, capacity) int32 Gaussian ids, -1 pad
     counts: jax.Array     # (num_tiles,) int32 number of live entries
     overflow: jax.Array   # () int32 total dropped entries

@@ -795,7 +795,7 @@ class Mapper:
                            self.vstore.w2c[video_idx], self.intrinsics_full,
                            self.image_size, self.render_list_capacity, 64,
                            bin_method=self.bin_method, bin_kw=self.bin_kw,
-            bin_seg_cap=self.bin_seg_cap)
+                           bin_seg_cap=self.bin_seg_cap)
         unc = None
         if self.uncertainty_aware:
             sigma = UncertaintyMLP(

@@ -337,12 +337,18 @@ class PrefetchingStream:
 
 
 dataset_dict = {
+    # registry mirrors the reference's (datasets.py:475-483): wild_slam_mocap
+    # is TUM-format with per-scene intrinsics, wild_slam_iphone is a plain
+    # RGB folder with no GT poses.
     "replica": Replica,
     "scannet": ScanNet,
     "tumrgbd": TUM_RGBD,
     "bonn": BONN,
+    "bonn_dynamic": BONN,
+    "wild_slam_mocap": TUM_RGBD,
     "7scenes": SevenScenes,
     "rgb_nopose": RGB_NoPose,
+    "wild_slam_iphone": RGB_NoPose,
 }
 
 
