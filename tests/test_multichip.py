@@ -154,8 +154,8 @@ def test_sharded_track_step_matches_update_core():
         net, inp, target, weight, *pyr, iid, jjd, valid, frame_base,
         jnp.zeros((1, h, w, 2)), jnp.zeros((1, h, w, 2)),
         jnp.zeros(1, jnp.int64), jnp.zeros(1, jnp.int64),
-        jnp.zeros(1, bool), damping, groups_g, t0, t1,
-        iters=2, pmax=pmax, motion_only=False, metric_depth_reg=True,
+        jnp.zeros(1, bool), damping, groups_g, t0, t1, jnp.float32(0.0),
+        n=1, iters=2, pmax=pmax, motion_only=False, metric_depth_reg=True,
         uncertainty_aware=True)
 
     # sharded
@@ -282,3 +282,151 @@ def test_sharded_render_gradients_match():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3,
             err_msg=f"gradient mismatch: {name}")
+
+
+# ---------------------------------------------------------------------------
+# gaussian-sharded mapping optimization (VERDICT r2 next-step 8)
+# ---------------------------------------------------------------------------
+
+def _scene_gmap(capacity=None):
+    """raster_scene packed into a fixed-capacity GaussianMap."""
+    from wildgs_slam_tpu.slam import gaussian_map as gm
+
+    means, scales, rots, opac, sh, alive = raster_scene(2)
+    C = capacity or NG
+    m = gm.create(C, max_sh_degree=0)
+    rot_wxyz = jnp.concatenate([rots[:, 3:4], rots[:, :3]], axis=-1)
+    params = m.params._replace(
+        xyz=m.params.xyz.at[:NG].set(means),
+        f_dc=m.params.f_dc.at[:NG].set(sh),
+        opacity=m.params.opacity.at[:NG].set(
+            gm.inverse_sigmoid(jnp.clip(opac, 1e-4, 1 - 1e-4))[:, None]),
+        scaling=m.params.scaling.at[:NG].set(jnp.log(scales)),
+        rotation=m.params.rotation.at[:NG].set(rot_wxyz))
+    aux = m.aux._replace(
+        alive=m.aux.alive.at[:NG].set(alive),
+        kf_id=m.aux.kf_id.at[:NG].set(0))
+    return m._replace(params=params, aux=aux)
+
+
+def test_gsharded_render_pad_and_mask():
+    """Image sizes whose tile count doesn't divide D render through the
+    pad-and-crop wrapper and match the single-device rasterizer."""
+    need_devices()
+    from wildgs_slam_tpu.parallel import mesh as pmesh
+
+    H2, W2 = 40, 48  # 3 x 3 = 9 tiles: NOT divisible by 8
+    intr = jnp.array([40.0, 40.0, W2 / 2, H2 / 2])
+    gmap = _scene_gmap()
+    w2c = lie.se3_exp(jnp.array([0.01, 0.0, 0.0, 0.0, 0.01, 0.0]))
+
+    from wildgs_slam_tpu.slam import gaussian_map as gm
+    p = gmap.params
+    ref = render_pallas(p.xyz, gm.get_scaling(p), gm.get_rotation_xyzw(p),
+                        gm.get_opacity(p), gm.get_sh(p), w2c, intr, (H2, W2),
+                        capacity=ND * CAP_LOC, chunk=32, alive=gmap.aux.alive)
+    assert int(ref.overflow) == 0
+
+    mesh = make_mesh(ND, axis="g")
+    assert pmesh.pad_image_size_for_mesh((H2, W2), ND)[0] % 16 == 0
+    # 2x the local capacity: this denser 40x48 framing funnels >CAP_LOC of
+    # one shard's gaussians into the hot center tile
+    rfn = pmesh.make_gsharded_render_fn(mesh, (H2, W2),
+                                        capacity_local=2 * CAP_LOC, chunk=32)
+    out = rfn(gmap.params, gmap.aux.alive, w2c, intr)
+    assert int(out.overflow) == 0
+    assert out.color.shape == (H2, W2, 3)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_gsharded_opt_segment_matches_single():
+    """mapper._opt_segment with the map SHARDED BY GAUSSIAN SLOT over the
+    8-device mesh (params + Adam moments + aux sharded, rendering through
+    the gaussians->tiles all_to_all rasterizer) matches the single-device
+    segment: same losses, same final map, same exposure/uncertainty-MLP
+    updates."""
+    need_devices()
+    from wildgs_slam_tpu.config import load_config
+    from wildgs_slam_tpu.models.uncertainty import UncertaintyMLP
+    from wildgs_slam_tpu.parallel import mesh as pmesh
+    from wildgs_slam_tpu.slam import gaussian_map as gm
+    from wildgs_slam_tpu.slam import mapper as M
+    from wildgs_slam_tpu.slam import viewpoints
+
+    cfg = load_config("configs/wildgs_slam.yaml")
+    loss_cfg = dict(
+        alpha=cfg["mapping"]["Training"]["alpha"],
+        rgb_boundary_threshold=cfg["mapping"]["Training"][
+            "rgb_boundary_threshold"],
+        ssim_loss=cfg["mapping"]["Training"]["ssim_loss"],
+        lambda_dssim=cfg["mapping"]["opt_params"]["lambda_dssim"],
+        uncertainty_params=cfg["mapping"]["uncertainty_params"],
+        opt_params=cfg["mapping"]["opt_params"])
+
+    fh = fw = 4
+    fd = 16
+    B = 6
+    rng = np.random.RandomState(0)
+    vs = viewpoints.create(B, RH, RW, (fh, fw), fd)
+    for i in range(B):
+        vs = viewpoints.set_view(
+            vs, i, jnp.asarray(rng.rand(RH, RW, 3).astype(np.float32)),
+            jnp.asarray(2.0 + 0.1 * rng.rand(RH, RW).astype(np.float32)),
+            lie.se3_exp(jnp.asarray(0.02 * rng.randn(6))),
+            features=jnp.asarray(rng.rand(fh, fw, fd).astype(np.float32)))
+
+    mlp = UncertaintyMLP(in_dim=fd)
+    u_params = mlp.init(jax.random.PRNGKey(1), jnp.zeros((1, fd)))
+    u_mu = jax.tree.map(jnp.zeros_like, u_params)
+    u_nu = jax.tree.map(jnp.zeros_like, u_params)
+
+    K, S = 4, 8
+    idxs = jnp.asarray([1, 2, 3, 1])
+    freeze = jnp.asarray([False, False, True, False])
+    d_base = jnp.asarray(np.clip(np.asarray(idxs) - 2, 0, B - 5))
+    d_samples = jnp.asarray(rng.randint(0, 5 * fh * fw, size=(K, S)))
+    step_valid = jnp.ones(K, bool)
+    iter_offsets = jnp.arange(K)
+
+    gmap = _scene_gmap()
+
+    def run(gmap_in, render_fn):
+        return M._opt_segment(
+            gmap_in, vs, u_params, u_mu, u_nu, jnp.zeros((), jnp.int32),
+            RINTR, idxs, freeze, d_base, d_samples, step_valid, iter_offsets,
+            None, (RH, RW), ND * CAP_LOC, 32, True, False, S,
+            M.HashableDict(loss_cfg), render_fn=render_fn)
+
+    def rfn_single(params, alive, w2c, intrinsics, mean2d_offset=None):
+        return render_pallas(
+            params.xyz, gm.get_scaling(params), gm.get_rotation_xyzw(params),
+            gm.get_opacity(params), gm.get_sh(params), w2c, intrinsics,
+            (RH, RW), capacity=ND * CAP_LOC, chunk=32,
+            mean2d_offset=mean2d_offset, alive=alive)
+
+    ref = run(gmap, rfn_single)
+
+    mesh = make_mesh(ND, axis="g")
+    rfn_sh = pmesh.make_gsharded_render_fn(mesh, (RH, RW),
+                                           capacity_local=CAP_LOC, chunk=32)
+    gmap_sh = pmesh.shard_gaussian_map(gmap, mesh)
+    out = run(gmap_sh, rfn_sh)
+
+    # per-step losses agree tightly; the map itself within Adam's
+    # amplification of fp32 summation-order noise near zero gradients
+    np.testing.assert_allclose(np.asarray(out[6]), np.asarray(ref[6]),
+                               rtol=2e-4, atol=1e-6)
+    for name in ("xyz", "f_dc", "opacity", "scaling", "rotation"):
+        a = np.asarray(getattr(ref[0].params, name))
+        b = np.asarray(getattr(out[0].params, name))
+        np.testing.assert_allclose(b, a, atol=2e-3,
+                                   err_msg=f"params.{name}")
+    np.testing.assert_allclose(np.asarray(out[1].exposure),
+                               np.asarray(ref[1].exposure), atol=1e-5)
+    ka = jax.tree.leaves(ref[2])
+    kb = jax.tree.leaves(out[2])
+    for a, b in zip(ka, kb):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)

@@ -162,3 +162,44 @@ def test_uncertainty_mask_update(cfg, params):
     inv = np.asarray(state.store.uncertainties_inv[:3])
     assert np.all((inv >= 0) & (inv <= 1))
     assert not np.allclose(inv, 1.0)  # actually updated
+
+
+def test_update_n_matches_sequential(cfg, params):
+    """update_n(2) (one while_loop dispatch) == two sequential update()
+    calls, and a huge eps early-exits after one iteration (VERDICT r2
+    next-step 1: batched frontend updates)."""
+
+    def mkgraph():
+        state = make_state(cfg)
+        mf = MotionFilter(state, params, thresh=-1.0,
+                          depth_fn=lambda im: np.full((HT, WD), 2.0,
+                                                      np.float32))
+        for t in range(6):
+            mf.track(float(t), synth_image(t))
+        g = FactorGraph(state, params, max_factors=16, pmax=16)
+        g.add_neighborhood_factors(0, 6, r=2)
+        return g
+
+    ga = mkgraph()
+    ga.update(1, use_inactive=True)
+    ga.update(1, use_inactive=True)
+
+    gb = mkgraph()
+    n_done, dmean = gb.update_n(2, 1, use_inactive=True, eps=0.0)
+    assert int(n_done) == 2 and float(dmean) > 0
+    np.testing.assert_allclose(np.asarray(gb.state.store.poses),
+                               np.asarray(ga.state.store.poses), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb.state.store.disps),
+                               np.asarray(ga.state.store.disps), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb.state.store.disps_up),
+                               np.asarray(ga.state.store.disps_up),
+                               atol=1e-5)
+    b = 32
+    np.testing.assert_allclose(np.asarray(gb.target[:b]),
+                               np.asarray(ga.target[:b]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb.net[:b]),
+                               np.asarray(ga.net[:b]), atol=1e-4)
+
+    gc = mkgraph()
+    n_done, _ = gc.update_n(8, 1, use_inactive=True, eps=1e9)
+    assert int(n_done) == 1

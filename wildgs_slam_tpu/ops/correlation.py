@@ -114,18 +114,126 @@ def _bilinear_window_gather(volume: jax.Array, coords: jax.Array,
     return out.reshape(E, P, rd * rd)
 
 
+def _bilinear_window_onehot(volume: jax.Array, coords: jax.Array,
+                            radius: int) -> jax.Array:
+    """Same contract as _bilinear_window_gather, but the (rd+1)^2 integer
+    samples are pulled with two one-hot MXU contractions instead of a
+    take_along_axis. Lane-dim gathers over millions of queries are the TPU
+    slow path (the round-2 binning A/B measured select-reduce beating
+    gathers 3-13x); the one-hot matmul is exact — each row has at most one
+    nonzero, so bf16 accumulation reproduces the gathered values bitwise —
+    and out-of-bounds columns get all-zero one-hot rows, which subsumes the
+    explicit in-bounds mask."""
+    E, P, h2, w2 = volume.shape
+    r = radius
+    rd = 2 * r + 1
+
+    x0 = coords[..., 0]
+    y0 = coords[..., 1]
+    fx = jnp.floor(x0)
+    fy = jnp.floor(y0)
+    dx = (x0 - fx)[..., None]
+    dy = (y0 - fy)[..., None]
+
+    offs = jnp.arange(rd + 1, dtype=jnp.float32) - r
+    # keep indices unclipped: OOB -> all-false one-hot row -> zero sample
+    gx = jnp.nan_to_num(fx[..., None] + offs, nan=-1.0,
+                        posinf=2.0 * w2, neginf=-1.0).astype(jnp.int32)
+    gy = jnp.nan_to_num(fy[..., None] + offs, nan=-1.0,
+                        posinf=2.0 * h2, neginf=-1.0).astype(jnp.int32)
+    ohx = (gx[..., None] == jnp.arange(w2, dtype=jnp.int32)).astype(
+        volume.dtype)                                       # (E, P, rd+1, w2)
+    ohy = (gy[..., None] == jnp.arange(h2, dtype=jnp.int32)).astype(
+        volume.dtype)                                       # (E, P, rd+1, h2)
+
+    # vals[e,p,i,j] = vol[e,p, gy[j], gx[i]]
+    t = jnp.einsum("ephw,epiw->epih", volume, ohx,
+                   preferred_element_type=volume.dtype)     # (E, P, rd+1, h2)
+    vals = jnp.einsum("epih,epjh->epij", t, ohy,
+                      preferred_element_type=jnp.float32)   # (E, P, i, j)
+
+    w00 = (1 - dx) * (1 - dy)
+    w10 = dx * (1 - dy)
+    w01 = (1 - dx) * dy
+    w11 = dx * dy
+    out = (
+        vals[:, :, :rd, :rd] * w00[..., None]
+        + vals[:, :, 1:, :rd] * w10[..., None]
+        + vals[:, :, :rd, 1:] * w01[..., None]
+        + vals[:, :, 1:, 1:] * w11[..., None]
+    )
+    return out.reshape(E, P, rd * rd)
+
+
+def _bilinear_window_patch(volume: jax.Array, coords: jax.Array,
+                           radius: int) -> jax.Array:
+    """Same contract via per-pixel (rd+1)x(rd+1) patch slices from a
+    zero-padded volume (a vmapped dynamic_slice lowers to ONE gather of
+    contiguous 2D blocks instead of (rd+1)^2 scalar samples per query).
+    Window starts are clipped into the pad band, so fully-out-of-bounds
+    windows read zeros and partially-overlapping windows keep their true
+    alignment (pad width == window size)."""
+    E, P, h2, w2 = volume.shape
+    r = radius
+    rd = 2 * r + 1
+    k = rd + 1  # window side
+    pad = k
+
+    volp = jnp.pad(volume, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    x0 = coords[..., 0]
+    y0 = coords[..., 1]
+    fx = jnp.floor(x0)
+    fy = jnp.floor(y0)
+    dx = (x0 - fx)[..., None]
+    dy = (y0 - fy)[..., None]
+
+    fx = jnp.nan_to_num(fx, nan=-1e4, posinf=1e4, neginf=-1e4)
+    fy = jnp.nan_to_num(fy, nan=-1e4, posinf=1e4, neginf=-1e4)
+    sx = (jnp.clip(fx - r, -pad, w2 + pad - k) + pad).astype(jnp.int32)
+    sy = (jnp.clip(fy - r, -pad, h2 + pad - k) + pad).astype(jnp.int32)
+
+    vals = jax.vmap(jax.vmap(
+        lambda v, y, x: jax.lax.dynamic_slice(v, (y, x), (k, k))
+    ))(volp, sy, sx)                       # (E, P, j=y, i=x)
+    vals = vals.transpose(0, 1, 3, 2).astype(jnp.float32)  # -> (E, P, i, j)
+
+    w00 = (1 - dx) * (1 - dy)
+    w10 = dx * (1 - dy)
+    w01 = (1 - dx) * dy
+    w11 = dx * dy
+    out = (
+        vals[:, :, :rd, :rd] * w00[..., None]
+        + vals[:, :, 1:, :rd] * w10[..., None]
+        + vals[:, :, :rd, 1:] * w01[..., None]
+        + vals[:, :, 1:, 1:] * w11[..., None]
+    )
+    return out.reshape(E, P, rd * rd)
+
+
+_WINDOW_FNS = {
+    "gather": _bilinear_window_gather,
+    "onehot": _bilinear_window_onehot,
+    "patch": _bilinear_window_patch,
+}
+
+
 def corr_lookup(pyramid: list[jax.Array], coords: jax.Array,
-                radius: int = 3) -> jax.Array:
+                radius: int = 3, method: str = "onehot") -> jax.Array:
     """Multi-level windowed lookup (CorrBlock.__call__, corr.py:57-67).
 
     coords: (E, H, W, 2) float (x, y) at level-0 resolution.
     Returns (E, H, W, L*(2r+1)^2) feature channels (level-major).
+    method: sampling strategy (all numerically equivalent) —
+      'gather' = take_along_axis (v5e A/B: the slow path at tracking scale),
+      'onehot' = one-hot MXU contraction (default),
+      'patch'  = padded vmapped dynamic_slice.
     """
     E, H, W, _ = coords.shape
     c = coords.reshape(E, H * W, 2)
+    fn = _WINDOW_FNS[method]
     outs = []
     for i, vol in enumerate(pyramid):
-        outs.append(_bilinear_window_gather(vol, c / (2 ** i), radius))
+        outs.append(fn(vol, c / (2 ** i), radius))
     out = jnp.concatenate(outs, axis=-1)
     return out.reshape(E, H, W, -1)
 

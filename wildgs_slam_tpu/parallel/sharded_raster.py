@@ -45,7 +45,8 @@ from ..ops.rasterizer.projection import project_gaussians
 
 def make_sharded_render(mesh: Mesh, image_size, *, capacity_local: int = 128,
                         chunk: int = 64, sh_degree: int = 0,
-                        interpret: bool | None = None, axis: str = "g"):
+                        interpret: bool | None = None, axis: str = "g",
+                        cull_size: tuple[int, int] | None = None):
     """Build fn(means3d, scales, rotations, opacities, sh, w2c, intrinsics,
     pose_delta, alive, bg) -> (color, depth, alpha, overflow), differentiable
     w.r.t. all Gaussian params and pose_delta.
@@ -63,23 +64,28 @@ def make_sharded_render(mesh: Mesh, image_size, *, capacity_local: int = 128,
     assert K % chunk == 0, f"merged capacity {K} not divisible by chunk"
 
     def body(means3d, scales, rotations, opacities, sh_coeffs, w2c,
-             intrinsics, pose_delta, alive, bg):
+             intrinsics, pose_delta, mean2d_offset, alive, bg):
         # ---- phase 1: project + bin the LOCAL Gaussian shard ----
+        # projection culls/clamps against cull_size (the TRUE image): when
+        # image_size is mesh-padded (T % D), the padding must not change the
+        # frustum cull or the EWA tanfov clamp vs the single-device path
         proj = project_gaussians(
             means3d, scales, rotations, opacities, sh_coeffs, w2c,
-            intrinsics, image_size, sh_degree=sh_degree,
+            intrinsics, cull_size or image_size, sh_degree=sh_degree,
             pose_delta=pose_delta)
         valid = proj.valid & alive
+        mean2d = proj.mean2d + mean2d_offset  # zero input; grad drives
+        #                                       densification stats
         bins = bin_gaussians(
-            jax.lax.stop_gradient(proj.mean2d), proj.radius,
+            jax.lax.stop_gradient(mean2d), proj.radius,
             jax.lax.stop_gradient(proj.depth), valid, image_size,
             capacity=capacity_local)
 
         attrs = jnp.concatenate(
-            [proj.mean2d, proj.conic, proj.color, proj.opacity[:, None],
+            [mean2d, proj.conic, proj.color, proj.opacity[:, None],
              proj.depth[:, None],
              jnp.zeros((means3d.shape[0], pc.ATTR_F - 10),
-                       proj.mean2d.dtype)], axis=1)
+                       mean2d.dtype)], axis=1)
         safe_ids = jnp.maximum(bins.ids, 0)
         table = attrs[safe_ids]                      # (T, Kloc, F)
         slot = jnp.arange(capacity_local)[None, :]
@@ -113,35 +119,39 @@ def make_sharded_render(mesh: Mesh, image_size, *, capacity_local: int = 128,
         depth = jax.lax.all_gather(tiles.depth, axis, axis=0, tiled=True)
         alpha = jax.lax.all_gather(tiles.alpha, axis, axis=0, tiled=True)
         overflow = jax.lax.psum(bins.overflow, axis)
-        return color, depth, alpha, overflow
+        radii = jnp.where(valid, proj.radius, 0)  # stays gaussian-sharded
+        return color, depth, alpha, overflow, radii
 
     gspec = P(axis)
     repl = P()
     sharded = shard_map(
         body, mesh=mesh,
         in_specs=(gspec, gspec, gspec, gspec, gspec, repl, repl, repl,
-                  gspec, repl),
-        out_specs=(repl, repl, repl, repl))
+                  gspec, gspec, repl),
+        out_specs=(repl, repl, repl, repl, gspec))
 
     def render_fn(means3d, scales, rotations, opacities, sh_coeffs, w2c,
-                  intrinsics, pose_delta=None, alive=None, bg=None):
+                  intrinsics, pose_delta=None, mean2d_offset=None, alive=None,
+                  bg=None):
         N = means3d.shape[0]
         assert N % D == 0, f"{N} gaussians not divisible by {D} devices"
         if pose_delta is None:
             pose_delta = jnp.zeros(6, means3d.dtype)
+        if mean2d_offset is None:
+            mean2d_offset = jnp.zeros((N, 2), means3d.dtype)
         if alive is None:
             alive = jnp.ones(N, bool)
         if bg is None:
             bg = jnp.zeros(3, means3d.dtype)
-        color, depth, alpha, overflow = sharded(
+        color, depth, alpha, overflow, radii = sharded(
             means3d, scales, rotations, opacities, sh_coeffs, w2c,
-            intrinsics, pose_delta, alive, bg)
+            intrinsics, pose_delta, mean2d_offset, alive, bg)
         return RenderOutput(
             color=untile(color, image_size),
             depth=untile(depth, image_size),
             alpha=untile(alpha, image_size),
             n_touched=jnp.zeros(N, jnp.int32),
-            radii=jnp.zeros(N, jnp.int32),
+            radii=radii,
             overflow=overflow)
 
     return render_fn

@@ -57,9 +57,11 @@ class UpdateOut(NamedTuple):
     poses: jax.Array
     disps: jax.Array
     disps_up: jax.Array
+    n_done: jax.Array       # () int32 — iterations actually executed
+    delta_mean: jax.Array   # () f32 — mean |GRU delta| of the last iteration
 
 
-@partial(jax.jit, static_argnames=("iters", "pmax", "motion_only",
+@partial(jax.jit, static_argnames=("n", "iters", "pmax", "motion_only",
                                    "metric_depth_reg", "uncertainty_aware",
                                    "cap"))
 def _update_core(params, poses, disps, disps_up, intrinsics, uncert_inv,
@@ -67,10 +69,20 @@ def _update_core(params, poses, disps, disps_up, intrinsics, uncert_inv,
                  net, inp, target, weight, corr_l0, corr_l1, corr_l2, corr_l3,
                  ii, jj, edge_valid, frame_base,
                  inac_target, inac_weight, inac_ii, inac_jj, inac_valid,
-                 damping, groups, t0, t1, iters: int, pmax: int,
+                 damping, groups, t0, t1, eps, n: int, iters: int, pmax: int,
                  motion_only: bool, metric_depth_reg: bool,
                  uncertainty_aware: bool, cap: int | None = None):
-    """One FactorGraph.update (factor_graph.py:218-263): GRU step + BA.
+    """`n` FactorGraph.updates (factor_graph.py:218-263) in ONE dispatch:
+    a jitted while_loop over (GRU step + BA), with convergence early-exit.
+
+    The reference runs iters1=8 / iters2=4 separate update calls per
+    keyframe (frontend.py:51-97); round-2 profiling measured those ~12
+    dispatches as ~7.5 s/frame of device time at 384x512. Batching them
+    into one while_loop (a) removes the per-dispatch tunnel queue drains,
+    (b) hoists the convex upsample out of the loop (only the LAST
+    iteration's disps_up is ever read by the host), and (c) stops
+    iterating once the GRU's mean flow correction drops below `eps`
+    pixels (eps=0 reproduces the fixed-iteration reference schedule).
 
     All edge arrays padded to capacity; `frame_base` is the minimum frame of
     the active window (for GraphAgg segment slots). When `cap` is given,
@@ -83,74 +95,103 @@ def _update_core(params, poses, disps, disps_up, intrinsics, uncert_inv,
         corr_l0, corr_l1, corr_l2, corr_l3 = (
             corr_l0[:cap], corr_l1[:cap], corr_l2[:cap], corr_l3[:cap])
     F, h, w = disps.shape
-    E = ii.shape[0]
 
     coords0 = projective.coords_grid(h, w)
-    coords1, _ = projective.projective_transform(
-        poses, disps, intrinsics, ii, jj)
-    motn = jnp.concatenate([coords1 - coords0, target - coords1], axis=-1)
-    motn = jnp.clip(motn, -64.0, 64.0)
-
-    corr = correlation.corr_lookup(
-        [corr_l0, corr_l1, corr_l2, corr_l3], coords1)
-
+    ii_rel = jnp.clip(ii - frame_base, 0, pmax - 1)
     # invalid (padding) edges route to dropped slot pmax so they cannot
     # pollute GraphAgg's per-frame mean (segment_sum drops oob indices)
-    ii_rel = jnp.where(edge_valid, jnp.clip(ii - frame_base, 0, pmax - 1),
-                       pmax)
-    net2, delta, weight2, eta_new, upmask = droid_net.UpdateModule().apply(
-        {"params": params["update"]}, net, inp, corr.astype(net.dtype),
-        motn.astype(net.dtype), ii_rel, pmax)
-    ii_rel = jnp.clip(ii - frame_base, 0, pmax - 1)
-
-    net2 = jnp.where(edge_valid[:, None, None, None], net2, net)
-    target2 = coords1 + delta.astype(jnp.float32)
-    target2 = jnp.where(edge_valid[:, None, None, None], target2, target)
-    weight2 = jnp.where(edge_valid[:, None, None, None],
-                        weight2.astype(jnp.float32), weight)
-
-    # damping[unique(ii)] = eta (factor_graph.py:243): scatter per window slot
-    has_edge_rel = jnp.zeros((pmax,), bool).at[
-        jnp.where(edge_valid, ii_rel, pmax)].set(True, mode="drop")
+    ii_rel_gru = jnp.where(edge_valid, ii_rel, pmax)
+    has_edge_rel = jnp.zeros((pmax,), bool).at[ii_rel_gru].set(
+        True, mode="drop")
     frames_abs = frame_base + jnp.arange(pmax)
-    damping = damping.at[jnp.clip(frames_abs, 0, F - 1)].set(
-        jnp.where(has_edge_rel[:, None, None],
-                  eta_new.astype(jnp.float32),
-                  damping[jnp.clip(frames_abs, 0, F - 1)]))
+    frames_up = jnp.clip(frames_abs, 0, F - 1)
 
-    # include inactive edges in the BA (use_inactive=True path)
+    # constant across iterations
     ii_all = jnp.concatenate([ii, inac_ii])
     jj_all = jnp.concatenate([jj, inac_jj])
     valid_all = jnp.concatenate([edge_valid, inac_valid])
-    target_all = jnp.concatenate([target2, inac_target])
-    weight_all = jnp.concatenate([weight2, inac_weight])
-
-    eta = 0.2 * damping + EP_DAMP  # (F, h, w)
-
-    if uncertainty_aware:
-        weight_ba = weight_all * uncert_inv[jnp.clip(ii_all, 0, F - 1)][..., None]
-    else:
-        weight_ba = weight_all
-
     sensor = mono_disps if metric_depth_reg else None
     sensor_valid = mono_mask_small if metric_depth_reg else None
+    if uncertainty_aware:
+        uw = uncert_inv[jnp.clip(ii_all, 0, F - 1)][..., None]
 
-    poses2, disps2 = dba.ba(
-        poses, disps, intrinsics, target_all, weight_ba, eta, ii_all, jj_all,
-        valid_all, groups, t0, t1, iters=iters,
-        cfg=dba.BAConfig(lm=1e-4, ep=0.1),
-        sensor_disps=sensor, sensor_valid=sensor_valid,
-        motion_only=motion_only, pmax=pmax)
+    def one_update(net, target, weight, damping, poses, disps):
+        coords1, _ = projective.projective_transform(
+            poses, disps, intrinsics, ii, jj)
+        motn = jnp.concatenate([coords1 - coords0, target - coords1],
+                               axis=-1)
+        motn = jnp.clip(motn, -64.0, 64.0)
 
-    # upsample disps for window frames with edges (video.upsample)
-    frames_up = jnp.clip(frames_abs, 0, F - 1)
-    up = droid_net.upsample_disp(disps2[frames_up],
-                                 upmask.astype(jnp.float32))
+        corr = correlation.corr_lookup(
+            [corr_l0, corr_l1, corr_l2, corr_l3], coords1)
+
+        net2, delta, weight2, eta_new, upmask = (
+            droid_net.UpdateModule().apply(
+                {"params": params["update"]}, net, inp,
+                corr.astype(net.dtype), motn.astype(net.dtype),
+                ii_rel_gru, pmax))
+
+        net2 = jnp.where(edge_valid[:, None, None, None], net2, net)
+        target2 = coords1 + delta.astype(jnp.float32)
+        target2 = jnp.where(edge_valid[:, None, None, None], target2, target)
+        weight2 = jnp.where(edge_valid[:, None, None, None],
+                            weight2.astype(jnp.float32), weight)
+
+        # convergence signal: mean |delta| over live edges (pixels at 1/8
+        # res) — the GRU's requested flow correction this iteration
+        dnorm = jnp.linalg.norm(delta.astype(jnp.float32), axis=-1)
+        dmean = (jnp.sum(jnp.where(edge_valid[:, None, None], dnorm, 0.0))
+                 / (jnp.sum(edge_valid) * h * w + 1e-8))
+
+        # damping[unique(ii)] = eta (factor_graph.py:243)
+        damping = damping.at[frames_up].set(
+            jnp.where(has_edge_rel[:, None, None],
+                      eta_new.astype(jnp.float32), damping[frames_up]))
+
+        target_all = jnp.concatenate([target2, inac_target])
+        weight_all = jnp.concatenate([weight2, inac_weight])
+        eta = 0.2 * damping + EP_DAMP  # (F, h, w)
+        weight_ba = weight_all * uw if uncertainty_aware else weight_all
+
+        poses2, disps2 = dba.ba(
+            poses, disps, intrinsics, target_all, weight_ba, eta, ii_all,
+            jj_all, valid_all, groups, t0, t1, iters=iters,
+            cfg=dba.BAConfig(lm=1e-4, ep=0.1),
+            sensor_disps=sensor, sensor_valid=sensor_valid,
+            motion_only=motion_only, pmax=pmax)
+        return net2, target2, weight2, damping, poses2, disps2, upmask, dmean
+
+    if n == 1:
+        net, target, weight, damping, poses, disps, upmask, dmean = (
+            one_update(net, target, weight, damping, poses, disps))
+        n_done = jnp.int32(1)
+    else:
+        upmask0 = jnp.zeros((pmax, h, w, 8 * 8 * 9), net.dtype)
+
+        def cond(c):
+            it, dm = c[0], c[1]
+            return (it < n) & ((it == 0) | (dm > eps))
+
+        def body(c):
+            it, _, net, target, weight, damping, poses, disps, _ = c
+            (net, target, weight, damping, poses, disps, upmask,
+             dmean) = one_update(net, target, weight, damping, poses, disps)
+            return (it + 1, dmean, net, target, weight, damping, poses,
+                    disps, upmask)
+
+        (n_done, dmean, net, target, weight, damping, poses, disps,
+         upmask) = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.float32(jnp.inf), net, target,
+                         weight, damping, poses, disps, upmask0))
+
+    # upsample disps for window frames with edges (video.upsample) — once,
+    # with the final iteration's mask (intermediate disps_up is never read)
+    up = droid_net.upsample_disp(disps[frames_up], upmask.astype(jnp.float32))
     disps_up = disps_up.at[frames_up].set(
         jnp.where(has_edge_rel[:, None, None], up, disps_up[frames_up]))
 
-    return UpdateOut(net2, target2, weight2, damping, poses2, disps2,
-                     disps_up)
+    return UpdateOut(net, target, weight, damping, poses, disps, disps_up,
+                     n_done, dmean)
 
 
 @partial(jax.jit, static_argnames=("pmax",))
@@ -438,8 +479,19 @@ class FactorGraph:
 
     def update(self, t0=None, t1=None, itrs=2, use_inactive=False,
                motion_only=False):
+        return self.update_n(1, t0=t0, t1=t1, itrs=itrs,
+                             use_inactive=use_inactive,
+                             motion_only=motion_only)
+
+    def update_n(self, n, t0=None, t1=None, itrs=2, use_inactive=False,
+                 motion_only=False, eps=0.0):
+        """Run `n` graph updates in ONE device dispatch (a jitted
+        while_loop), stopping early once the GRU's mean flow correction
+        drops below `eps` pixels (eps=0 = fixed n, reference semantics).
+        Returns (n_done, delta_mean) as device scalars (NOT pulled — a
+        fresh-value D2H read costs ~27 ms over the tunnel)."""
         if self.ii.shape[0] == 0:
-            return
+            return None
         store = self.state.store
         F = store.poses.shape[0]
 
@@ -498,8 +550,8 @@ class FactorGraph:
             frame_base,
             itgt, iwgt, jnp.asarray(iii), jnp.asarray(ijj),
             jnp.asarray(ivalid),
-            self.damping, groups, t0, t1,
-            iters=itrs, pmax=self.pmax, motion_only=motion_only,
+            self.damping, groups, t0, t1, jnp.float32(eps),
+            n=n, iters=itrs, pmax=self.pmax, motion_only=motion_only,
             metric_depth_reg=self.state.metric_depth_reg,
             uncertainty_aware=self.state.uncertainty_aware, cap=cap)
 
@@ -511,7 +563,8 @@ class FactorGraph:
         self.damping = out.damping
         self.state.store = store._replace(
             poses=out.poses, disps=out.disps, disps_up=out.disps_up)
-        self.age += 1
+        self.age += n
+        return out.n_done, out.delta_mean
 
     def update_lowmem(self, t0=None, t1=None, itrs=2, steps=8,
                       chunk_frames=8, pmax=None):

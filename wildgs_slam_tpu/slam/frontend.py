@@ -37,6 +37,10 @@ class Frontend:
         self.frontend_radius = t["frontend"]["radius"]
         self.frontend_max_factors = t["frontend"]["max_factors"]
         self.enable_loop = t["frontend"]["enable_loop"]
+        # convergence early-exit threshold for batched graph updates (mean
+        # |GRU delta| in px at 1/8 res; 0 = reference's fixed iteration
+        # schedule). TPU-side speed knob — not in the reference config.
+        self.update_eps = float(t["frontend"].get("update_eps", 0.0))
         self.multiview_thresh = t["multiview_filter"]["thresh"]
         self.multiview_visible_num = t["multiview_filter"]["visible_num"]
 
@@ -103,14 +107,25 @@ class Frontend:
                 rad=self.frontend_radius, nms=self.frontend_nms,
                 thresh=self.frontend_thresh, beta=self.beta, remove=True)
 
-        for itr in range(self.iters1):
-            with TIMER.phase("track.fe.graph_update"):
-                self.graph.update(None, None, use_inactive=True)
-            if (itr == 1 and not self.cfg.get("fast_mode", False)
-                    and self.state.metric_depth_reg
-                    and self.state.uncertainty_aware):
-                with TIMER.phase("track.fe.mono_filter"):
-                    self._filter_mono_depth(self.t1 - 1)
+        # iters1 graph updates, batched into at most two scanned dispatches
+        # (split only where the mono-depth filter must observe intermediate
+        # state, reference frontend.py:59-66); convergence early-exit via
+        # update_eps (0 = reference's fixed schedule)
+        run_mono_filter = (not self.cfg.get("fast_mode", False)
+                           and self.state.metric_depth_reg
+                           and self.state.uncertainty_aware)
+        first = min(2, self.iters1) if run_mono_filter else self.iters1
+        with TIMER.phase("track.fe.graph_update"):
+            self.graph.update_n(first, None, None, use_inactive=True,
+                                eps=self.update_eps)
+        if run_mono_filter:
+            with TIMER.phase("track.fe.mono_filter"):
+                self._filter_mono_depth(self.t1 - 1)
+            if self.iters1 > first:
+                with TIMER.phase("track.fe.graph_update"):
+                    self.graph.update_n(self.iters1 - first, None, None,
+                                        use_inactive=True,
+                                        eps=self.update_eps)
 
         with TIMER.phase("track.fe.kf_decision"):
             d = kstore.distance(self.state.store, self.state.counter,
@@ -139,9 +154,10 @@ class Frontend:
                         motion_only=False, local_graph=self.graph)
                 ran_loop = n_edge > 0
             if not ran_loop:
-                for _ in range(self.iters2):
-                    with TIMER.phase("track.fe.graph_update"):
-                        self.graph.update(None, None, use_inactive=True)
+                with TIMER.phase("track.fe.graph_update"):
+                    self.graph.update_n(self.iters2, None, None,
+                                        use_inactive=True,
+                                        eps=self.update_eps)
 
         with TIMER.phase("track.fe.prep_next"):
             self._prep_next_slot()
@@ -150,13 +166,11 @@ class Frontend:
         """frontend.py:99-128."""
         self.t1 = self.state.counter
         self.graph.add_neighborhood_factors(0, self.t1, r=3)
-        for _ in range(8):
-            self.graph.update(1, use_inactive=True)
+        self.graph.update_n(8, 1, use_inactive=True, eps=self.update_eps)
         self.graph.add_proximity_factors(0, 0, rad=2, nms=2,
                                          thresh=self.frontend_thresh,
                                          remove=False)
-        for _ in range(8):
-            self.graph.update(1, use_inactive=True)
+        self.graph.update_n(8, 1, use_inactive=True, eps=self.update_eps)
         self._prep_next_slot_init()
         self.is_initialized = True
         self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
@@ -176,8 +190,7 @@ class Frontend:
         self.graph.add_proximity_factors(0, 0, rad=2, nms=2,
                                          thresh=self.frontend_thresh,
                                          remove=False)
-        for _ in range(8):
-            self.graph.update(1, use_inactive=True)
+        self.graph.update_n(8, 1, use_inactive=True, eps=self.update_eps)
         self.graph.age = np.maximum(self.graph.age - 8, 0)
         self._prep_next_slot_init()
         self.is_initialized = True

@@ -133,19 +133,27 @@ def _uncer_adam(params, grads, mu, nu, count, lr, wd=1e-5, b1=0.9, b2=0.999,
 
 @partial(jax.jit, static_argnames=("image_size", "capacity", "chunk",
                                    "uncertainty_aware", "initialization",
-                                   "n_dino_samples", "cfg_static"))
+                                   "n_dino_samples", "cfg_static",
+                                   "render_fn"))
 def _opt_segment(gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count,
                  intrinsics, view_idxs, freeze_flags, dino_view_base,
                  dino_sample_idx, step_valid, iter_offsets, loss_cfg_arr,
                  image_size, capacity, chunk, uncertainty_aware: bool,
                  initialization: bool, n_dino_samples: int,
-                 cfg_static: dict):
+                 cfg_static: dict, render_fn=None):
     """Run K mapping iterations in one device program.
 
     view_idxs (K,), freeze_flags (K,), dino_view_base (K,) first of 5
     neighbor views for the reg loss, dino_sample_idx (K, S) flat positions
     into the 5-view feature block, iter_offsets (K,) global iteration count
     per step (for the xyz lr schedule).
+
+    `render_fn` (static): optional replacement for the single-device
+    rasterizer, signature (params, alive, w2c, intrinsics, mean2d_offset)
+    -> RenderOutput. Used by parallel/ to run this exact optimization
+    segment with a GAUSSIAN-SHARDED map over a device mesh (the sharded
+    rasterizer handles the gaussians->tiles all_to_all; every other op in
+    the step is per-gaussian elementwise and shards trivially).
     """
     up = cfg_static["uncertainty_params"]
     opt = cfg_static["opt_params"]
@@ -161,14 +169,20 @@ def _opt_segment(gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count,
 
     def loss_fn(params, exposure, u_params, mean2d_offset, idx, freeze,
                 d_base, d_samples):
-        out = _fast_render(
-            params.xyz, gm.get_scaling(params), gm.get_rotation_xyzw(params),
-            gm.get_opacity(params), gm.get_sh(params), vstore.w2c[idx],
-            intrinsics, image_size, alive=gmap.aux.alive, capacity=capacity,
-            chunk=chunk, mean2d_offset=mean2d_offset,
-            bin_method=cfg_static.get("bin_method", "onehot"),
-            bin_kw=cfg_static.get("bin_kw", 4),
-            bin_seg_cap=cfg_static.get("bin_seg_cap", 64))
+        if render_fn is not None:
+            out = render_fn(params, gmap.aux.alive, vstore.w2c[idx],
+                            intrinsics, mean2d_offset)
+        else:
+            out = _fast_render(
+                params.xyz, gm.get_scaling(params),
+                gm.get_rotation_xyzw(params),
+                gm.get_opacity(params), gm.get_sh(params), vstore.w2c[idx],
+                intrinsics, image_size, alive=gmap.aux.alive,
+                capacity=capacity,
+                chunk=chunk, mean2d_offset=mean2d_offset,
+                bin_method=cfg_static.get("bin_method", "onehot"),
+                bin_kw=cfg_static.get("bin_kw", 4),
+                bin_seg_cap=cfg_static.get("bin_seg_cap", 64))
         gt = vstore.colors[idx].astype(jnp.float32)
         ref_depth = vstore.depths[idx]
 
@@ -352,9 +366,10 @@ def _deform_projective(gmap, kf_id, w2c_new, w2c_old, depth_new, depth_old,
 # ---------------------------------------------------------------------------
 
 class Mapper:
-    def __init__(self, state, cfg, uncer_params=None, rng_seed=0):
+    def __init__(self, state, cfg, uncer_params=None, rng_seed=0, mesh=None):
         self.state = state
         self.cfg = cfg
+        self.mesh = mesh
         mc = cfg["mapping"]
         self.mc = mc
         tr = mc["Training"]
@@ -387,7 +402,28 @@ class Mapper:
         self.intrinsics_full = state.store.intrinsics * 8.0
 
         sh_deg = 3 if tr.get("spherical_harmonics", False) else 0
+        # mesh mode (stage 4): the map is SHARDED BY GAUSSIAN SLOT over the
+        # device mesh — params, Adam moments, and aux all P("g") — and every
+        # _opt_segment renders through the gaussians->tiles all_to_all
+        # rasterizer (parallel/sharded_raster.py). Map capacity then scales
+        # with the mesh instead of one chip's HBM.
+        self.mesh_render_fn = None
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            D = mesh.devices.size
+            self.capacity = pmesh.pad_gaussian_capacity(self.capacity, D)
+            cap_loc = max(64, -(-self.render_list_capacity // D))
+            cap_loc = -(-cap_loc * D // 64) * 64 // D if (cap_loc * D) % 64 \
+                else cap_loc
+            self.mesh_render_fn = pmesh.make_gsharded_render_fn(
+                mesh, self.image_size, capacity_local=cap_loc, chunk=64,
+                sh_degree=sh_deg)
         self.gaussians = gm.create(self.capacity, max_sh_degree=sh_deg)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            self.gaussians = pmesh.shard_gaussian_map(self.gaussians, mesh)
         fh, fw = (ht // 14, wd // 14)
         self.vstore = viewpoints.create(
             state.store.poses.shape[0], ht, wd, (fh, fw),
