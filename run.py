@@ -41,6 +41,10 @@ def main():
     parser.add_argument("--debug", action="store_true",
                         help="detect-anomaly mode: jax_debug_nans + finite "
                              "checks at every phase boundary")
+    parser.add_argument("--mesh", type=int, default=None,
+                        help="run the system over an N-device mesh "
+                             "(edge-sharded tracking + gaussian-sharded "
+                             "mapping); equals cfg parallel.n_devices")
     args = parser.parse_args()
 
     from wildgs_slam_tpu.config import load_config
@@ -52,6 +56,8 @@ def main():
         cfg["max_frames"] = args.max_frames
     if args.fast_mode:
         cfg["fast_mode"] = True
+    if args.mesh is not None:
+        cfg.setdefault("parallel", {})["n_devices"] = args.mesh
     setup_seed(cfg.get("setup_seed", 43))
 
     if "scene" not in cfg:

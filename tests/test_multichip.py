@@ -171,7 +171,7 @@ def test_sharded_track_step_matches_update_core():
         metric_depth_reg=True, uncertainty_aware=True)
     (net2, tgt2, wgt2, damp2, poses2, disps2, disps_up2) = fn(
         params, poses, disps, disps_up, INTR, uncert, mono, mono_mask,
-        netv, inpv, tgtv, wgtv, c0, c1, c2, c3, iiv, jjv, vv,
+        netv, inpv, tgtv, wgtv, c0, c1, c2, c3, iiv, jjv, vv, vv,
         jnp.int32(frame_base), damping, jnp.asarray(meta["groups"]),
         jnp.asarray(meta["owner"]), jnp.int32(t0), jnp.int32(t1))
 

@@ -40,12 +40,15 @@ def make_sharded_track_step(mesh: Mesh, F: int, hw_shape, E_cap: int,
 
     fn(params, poses, disps, disps_up, intrinsics, uncert_inv, mono_disps,
        mono_mask_small, net, inp, target, weight, corr_l0..3, ii, jj, valid,
-       frame_base, damping, groups, owner, t0, t1)
+       gru_valid, frame_base, damping, groups, owner, t0, t1)
     -> (net2, target2, weight2, damping2, poses2, disps2, disps_up2)
 
     Edge arrays are device-major (D*E_cap, ...) from
     sharded_dba.shard_edges_by_frame; `groups` (D, F, degree) indexes LOCAL
-    edges; `owner` (D, F).
+    edges; `owner` (D, F). `gru_valid` distinguishes ACTIVE edges (GRU
+    update + BA) from INACTIVE ones (BA only, stored target/weight — the
+    use_inactive=True path of factor_graph._update_core); pass zeros for
+    the inactive rows' net/inp/corr volumes.
     """
     h, w = hw_shape
     D = mesh.devices.size
@@ -53,12 +56,13 @@ def make_sharded_track_step(mesh: Mesh, F: int, hw_shape, E_cap: int,
     def body(params, poses, disps, disps_up, intrinsics, uncert_inv,
              mono_disps, mono_mask_small, net, inp, target, weight,
              corr_l0, corr_l1, corr_l2, corr_l3, ii, jj, edge_valid,
-             frame_base, damping, groups, owner, t0, t1):
+             gru_valid, frame_base, damping, groups, owner, t0, t1):
         groups_l = groups.reshape(F, degree)
         owner_l = owner.reshape(F)
         ii = ii.reshape(-1)
         jj = jj.reshape(-1)
         edge_valid = edge_valid.reshape(-1)
+        gru_valid = gru_valid.reshape(-1) & edge_valid
 
         coords0 = projective.coords_grid(h, w)
         coords1, _ = projective.projective_transform(
@@ -69,23 +73,23 @@ def make_sharded_track_step(mesh: Mesh, F: int, hw_shape, E_cap: int,
         corr = correlation.corr_lookup(
             [corr_l0, corr_l1, corr_l2, corr_l3], coords1)
 
-        # pad edges -> dropped slot pmax (matches _update_core)
-        ii_rel = jnp.where(edge_valid,
+        # pad + BA-only edges -> dropped slot pmax (matches _update_core)
+        ii_rel = jnp.where(gru_valid,
                            jnp.clip(ii - frame_base, 0, pmax - 1), pmax)
         net2, delta, weight2, eta_new, upmask = droid_net.UpdateModule(
         ).apply({"params": params["update"]}, net, inp,
                 corr.astype(net.dtype), motn.astype(net.dtype), ii_rel, pmax)
         ii_rel = jnp.clip(ii - frame_base, 0, pmax - 1)
 
-        net2 = jnp.where(edge_valid[:, None, None, None], net2, net)
+        net2 = jnp.where(gru_valid[:, None, None, None], net2, net)
         target2 = coords1 + delta.astype(jnp.float32)
-        target2 = jnp.where(edge_valid[:, None, None, None], target2, target)
-        weight2 = jnp.where(edge_valid[:, None, None, None],
+        target2 = jnp.where(gru_valid[:, None, None, None], target2, target)
+        weight2 = jnp.where(gru_valid[:, None, None, None],
                             weight2.astype(jnp.float32), weight)
 
-        # damping for OWNED frames with local edges (delta-psum combine)
+        # damping for OWNED frames with local ACTIVE edges (delta-psum)
         has_edge_rel = jnp.zeros((pmax,), bool).at[
-            jnp.where(edge_valid, ii_rel, pmax)].set(True, mode="drop")
+            jnp.where(gru_valid, ii_rel, pmax)].set(True, mode="drop")
         in_range = (frame_base + jnp.arange(pmax)) < F  # no clip duplicates
         frames_abs = jnp.clip(frame_base + jnp.arange(pmax), 0, F - 1)
         own_rel = owner_l[frames_abs] & has_edge_rel & in_range
@@ -126,7 +130,7 @@ def make_sharded_track_step(mesh: Mesh, F: int, hw_shape, E_cap: int,
     sharded = shard_map(
         body, mesh=mesh,
         in_specs=(repl, repl, repl, repl, repl, repl, repl, repl,
-                  es, es, es, es, es, es, es, es, es, es, es,
+                  es, es, es, es, es, es, es, es, es, es, es, es,
                   repl, repl, es, es, repl, repl),
         out_specs=(es, es, es, repl, repl, repl, repl))
     return jax.jit(sharded)

@@ -240,13 +240,17 @@ class FactorGraph:
     bounded number of times."""
 
     def __init__(self, state, params, corr_impl="volume", max_factors=-1,
-                 pmax=96, inac_cap=96, group_degree=16):
+                 pmax=96, inac_cap=96, group_degree=16, mesh=None):
         self.state = state            # SlamState: .store, .counter
         self.params = params
         self.corr_impl = corr_impl
         self.max_factors = max_factors
         self.pmax = pmax
         self.group_degree = group_degree
+        # stage-4 mesh mode: update_n routes through the edge-sharded track
+        # step (parallel/sharded_track.py) instead of _update_core
+        self.mesh = mesh
+        self._sharded_step_cache = {}
 
         store = state.store
         self.h, self.w = store.disps.shape[-2:]
@@ -492,6 +496,9 @@ class FactorGraph:
         fresh-value D2H read costs ~27 ms over the tunnel)."""
         if self.ii.shape[0] == 0:
             return None
+        if self.mesh is not None:
+            return self._update_n_sharded(n, t0, t1, itrs, use_inactive,
+                                          motion_only)
         store = self.state.store
         F = store.poses.shape[0]
 
@@ -565,6 +572,111 @@ class FactorGraph:
             poses=out.poses, disps=out.disps, disps_up=out.disps_up)
         self.age += n
         return out.n_done, out.delta_mean
+
+    def _update_n_sharded(self, n, t0, t1, itrs, use_inactive, motion_only):
+        """Mesh-mode update_n: n edge-sharded track steps over the device
+        mesh (parallel/sharded_track.py — GRU/corr local per edge shard, one
+        psum'd DBA pose system per GN iteration). Numerically matches
+        _update_core (tests/test_multichip.py). Host-side gathers reshuffle
+        the edge state into device-major order per call — fine for the
+        CPU-mesh validation path; a resident device-major layout is the
+        optimization when real multi-chip hardware is available."""
+        from ..parallel import sharded_dba, sharded_track
+
+        store = self.state.store
+        F = store.poses.shape[0]
+        D = self.mesh.devices.size
+        E = self.E
+
+        if use_inactive and self.ii_inac.shape[0] > 0:
+            tmin = max(1, int(self.ii.min()) + 1) if t0 is None else t0
+            m = (self.ii_inac >= tmin - 3) & (self.jj_inac >= tmin - 3)
+        else:
+            m = np.zeros(self.ii_inac.shape[0], bool)
+        sel = np.where(m)[0]
+        ii_all = np.concatenate([self.ii, self.ii_inac[m]])
+        jj_all = np.concatenate([self.jj, self.jj_inac[m]])
+
+        if t0 is None:
+            t0 = max(1, int(self.ii.min()) + 1)
+        if t1 is None:
+            t1 = max(int(self.ii.max()), int(self.jj.max())) + 1
+        frame_base = max(0, t1 - self.pmax)
+
+        meta = sharded_dba.shard_edges_by_frame(
+            ii_all, jj_all, D, F, self.group_degree,
+            e_cap=_bucket(max(1, int(np.max(np.bincount(
+                (ii_all % D) if len(ii_all) else np.zeros(1, np.int64),
+                minlength=D))))))
+        e_cap = meta["e_cap"]
+
+        # concatenated edge state (actives from fixed storage; BA-only
+        # inactives carry stored target/weight + zero GRU state)
+        h, w = self.h, self.w
+        zcorr = [jnp.zeros((len(sel),) + tuple(c.shape[1:]), c.dtype)
+                 for c in self.corr_pyr]
+        net_all = jnp.concatenate(
+            [self.net[:E], jnp.zeros((len(sel), h, w, 128))])
+        inp_all = store.inps[jnp.asarray(np.clip(ii_all, 0, F - 1))]
+        tgt_all = jnp.concatenate([self.target[:E],
+                                   self.target_inac[jnp.asarray(sel)]
+                                   if len(sel) else
+                                   jnp.zeros((0, h, w, 2))])
+        wgt_all = jnp.concatenate([self.weight[:E],
+                                   self.weight_inac[jnp.asarray(sel)]
+                                   if len(sel) else
+                                   jnp.zeros((0, h, w, 2))])
+        corr_all = [jnp.concatenate([c[:E], z])
+                    for c, z in zip(self.corr_pyr, zcorr)]
+        gru_flag = np.concatenate([np.ones(E, bool),
+                                   np.zeros(len(sel), bool)])
+        valid_flag = np.ones(len(ii_all), bool)
+
+        gathered = sharded_dba.gather_edges(
+            [net_all, inp_all, tgt_all, wgt_all, *corr_all,
+             jnp.asarray(ii_all), jnp.asarray(jj_all),
+             jnp.asarray(valid_flag), jnp.asarray(gru_flag)], meta["perm"])
+        (netv, inpv, tgtv, wgtv, c0, c1, c2, c3, iiv, jjv, vv, gv) = gathered
+        vv = vv & jnp.asarray(meta["valid"].reshape(-1))
+        gv = gv & vv
+
+        key = (F, h, w, e_cap, self.pmax, itrs,
+               self.state.metric_depth_reg, self.state.uncertainty_aware)
+        fn = self._sharded_step_cache.get(key)
+        if fn is None:
+            fn = sharded_track.make_sharded_track_step(
+                self.mesh, F, (h, w), e_cap, self.pmax,
+                degree=self.group_degree, axis=self.mesh.axis_names[0],
+                iters=itrs,
+                metric_depth_reg=self.state.metric_depth_reg,
+                uncertainty_aware=self.state.uncertainty_aware)
+            self._sharded_step_cache[key] = fn
+
+        sh, sw = kstore.slice_hw(*store.mono_disps_up.shape[-2:])
+        poses, disps, disps_up, damping = (store.poses, store.disps,
+                                           store.disps_up, self.damping)
+        for _ in range(n):
+            (netv, tgtv, wgtv, damping, poses, disps, disps_up) = fn(
+                self.params, poses, disps, disps_up, store.intrinsics,
+                store.uncertainties_inv, store.mono_disps,
+                store.mono_mask_up[:, sh, sw],
+                netv, inpv, tgtv, wgtv, c0, c1, c2, c3, iiv, jjv, vv, gv,
+                jnp.int32(frame_base), damping,
+                jnp.asarray(meta["groups"]), jnp.asarray(meta["owner"]),
+                jnp.int32(t0), jnp.int32(t1))
+
+        # scatter ACTIVE rows back into fixed-capacity storage
+        flat_perm = meta["perm"].reshape(-1)
+        flat_ok = meta["valid"].reshape(-1) & (flat_perm < E)
+        wr = jnp.asarray(np.where(flat_ok, flat_perm, self.cap))
+        self.net = self.net.at[wr].set(netv, mode="drop")
+        self.target = self.target.at[wr].set(tgtv, mode="drop")
+        self.weight = self.weight.at[wr].set(wgtv, mode="drop")
+        self.damping = damping
+        self.state.store = store._replace(poses=poses, disps=disps,
+                                          disps_up=disps_up)
+        self.age += n
+        return jnp.int32(n), jnp.float32(jnp.nan)
 
     def update_lowmem(self, t0=None, t1=None, itrs=2, steps=8,
                       chunk_frames=8, pmax=None):

@@ -95,8 +95,27 @@ class SLAM:
                     jax.random.PRNGKey(0), ht, wd)
         self.droid_params = droid_params
 
+        # stage-4 mesh mode: cfg parallel.n_devices > 1 (or run.py --mesh N)
+        # builds a device mesh and routes tracking updates through the
+        # edge-sharded track step and mapping optimization through the
+        # gaussian-sharded rasterizer + sharded Adam (SURVEY §7 stage 4;
+        # the reference is strictly single-GPU, SURVEY §2.4)
+        self.mesh = None
+        n_dev = int(cfg.get("parallel", {}).get("n_devices", 0) or 0)
+        if n_dev > 1:
+            from ..parallel.mesh import make_mesh
+
+            if jax.device_count() < n_dev:
+                raise ValueError(
+                    f"parallel.n_devices={n_dev} but only "
+                    f"{jax.device_count()} devices visible")
+            self.mesh = make_mesh(n_dev, axis="g")
+            print(f"[slam] mesh mode: {n_dev} devices "
+                  f"({jax.default_backend()})")
+
         self.mapper = Mapper(self.state, cfg,
-                             rng_seed=cfg.get("setup_seed", 43))
+                             rng_seed=cfg.get("setup_seed", 43),
+                             mesh=self.mesh)
 
         mlp = UncertaintyMLP(
             in_dim=cfg["mapping"]["uncertainty_params"]["feature_dim"])
@@ -128,7 +147,8 @@ class SLAM:
                                uncertainty_update_fn=uncertainty_update)
         self.frontend = Frontend(self.state, droid_params, cfg,
                                  backend=self.backend,
-                                 uncertainty_update_fn=uncertainty_update)
+                                 uncertainty_update_fn=uncertainty_update,
+                                 mesh=self.mesh)
         self.motion_filter = MotionFilter(
             self.state, droid_params,
             thresh=cfg["tracking"]["motion_filter"]["thresh"],
