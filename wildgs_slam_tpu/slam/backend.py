@@ -32,6 +32,9 @@ class Backend:
         self.multiview_thresh = t["multiview_filter"]["thresh"]
         self.multiview_visible_num = t["multiview_filter"]["visible_num"]
         self.uncertainty_update_fn = uncertainty_update_fn
+        # integrated-ATE oracle hook (see FactorGraph.gt_injection):
+        # propagated to every graph this backend builds
+        self.gt_injection = None
 
     def backend_ba(self, t_start, t_end, steps, graph, nms, radius, thresh,
                    max_factors, t_start_loop=None, loop=False):
@@ -61,6 +64,7 @@ class Backend:
         graph = FactorGraph(self.state, self.params, corr_impl="alt",
                             max_factors=max_factors,
                             pmax=self.state.store.poses.shape[0])
+        graph.gt_injection = self.gt_injection
         n_edges = self.backend_ba(t_start, t_end, steps, graph,
                                   self.backend_nms, self.backend_radius,
                                   self.backend_thresh, max_factors)
@@ -77,6 +81,7 @@ class Backend:
         graph = FactorGraph(self.state, self.params, corr_impl="alt",
                             max_factors=max_factors,
                             pmax=self.state.store.poses.shape[0])
+        graph.gt_injection = self.gt_injection
         if local_graph is not None:
             graph.adopt_edges(local_graph)
         left = max_factors - len(graph.ii)

@@ -251,6 +251,14 @@ class FactorGraph:
         # step (parallel/sharded_track.py) instead of _update_core
         self.mesh = mesh
         self._sharded_step_cache = {}
+        # integrated-ATE oracle hook (tests): callable(store, counter) ->
+        # (poses_gt (B,7), disps_gt (B,h,w)). When set, update_n/update_lowmem
+        # swap the GRU update op for GT-reprojection targets with high
+        # confidence, keeping every other stage of the REAL pipeline (edge
+        # proposal, BA solve, keyframe culling, loop closure) intact —
+        # the reference's eval protocol (src/utils/eval_traj.py:113-195)
+        # then must recover the trajectory to sub-cm ATE.
+        self.gt_injection = None
 
         store = state.store
         self.h, self.w = store.disps.shape[-2:]
@@ -496,6 +504,9 @@ class FactorGraph:
         fresh-value D2H read costs ~27 ms over the tunnel)."""
         if self.ii.shape[0] == 0:
             return None
+        if self.gt_injection is not None:
+            return self._update_n_oracle(n, t0, t1, itrs, use_inactive,
+                                         motion_only)
         if self.mesh is not None:
             return self._update_n_sharded(n, t0, t1, itrs, use_inactive,
                                           motion_only)
@@ -572,6 +583,75 @@ class FactorGraph:
             poses=out.poses, disps=out.disps, disps_up=out.disps_up)
         self.age += n
         return out.n_done, out.delta_mean
+
+    def _oracle_targets(self, ii, jj):
+        """GT-reprojection flow targets + high confidence (the oracle GRU
+        stub; reference geometry: pops.projective_transform,
+        projective_ops.py:110-139)."""
+        poses_gt, disps_gt = self.gt_injection(self.state.store,
+                                               self.state.counter)
+        tgt, _ = projective.projective_transform(
+            poses_gt, disps_gt, self.state.store.intrinsics,
+            jnp.asarray(ii), jnp.asarray(jj))
+        return tgt, jnp.full(tgt.shape, 0.9)
+
+    def _update_n_oracle(self, n, t0, t1, itrs, use_inactive, motion_only):
+        """update_n with the GRU swapped for GT-reprojection targets; every
+        other stage (inactive-edge reuse, damping, the REAL kstore.ba solve)
+        is the production path."""
+        store = self.state.store
+        F = store.poses.shape[0]
+        b = _bucket(max(self.E, 1))
+        iip, jjp, valid = self._padded_edges(self.ii, self.jj, b)
+        tgt, wgt = self._oracle_targets(iip, jjp)
+        self.target = self._write(self.target, tgt, jnp.int32(0))
+        self.weight = self._write(self.weight, wgt, jnp.int32(0))
+
+        if use_inactive and self.ii_inac.shape[0] > 0:
+            tmin = max(1, int(self.ii.min()) + 1) if t0 is None else t0
+            m = (self.ii_inac >= tmin - 3) & (self.jj_inac >= tmin - 3)
+        else:
+            m = np.zeros(self.ii_inac.shape[0], bool)
+        sel = np.where(m)[0]
+        icap = _bucket(max(len(sel), 1), buckets=(64, 256, 512, 1024))
+        sel_p = jnp.asarray(np.concatenate(
+            [sel, np.zeros(icap - len(sel), np.int64)]))
+        itgt = self.target_inac[sel_p]
+        iwgt = self.weight_inac[sel_p]
+        iii, ijj, ivalid = self._padded_edges(self.ii_inac[m],
+                                              self.jj_inac[m], icap)
+        if t0 is None:
+            t0 = max(1, int(self.ii.min()) + 1)
+        if t1 is None:
+            t1 = max(int(self.ii.max()), int(self.jj.max())) + 1
+        ii_all = np.concatenate([iip * valid + (1 - valid) * -1,
+                                 iii * ivalid + (1 - ivalid) * -1])
+        groups = jnp.asarray(dba.make_edge_groups(ii_all, F,
+                                                  self.group_degree))
+        eta = 0.2 * self.damping + EP_DAMP
+        tgt_all = jnp.concatenate([tgt, itgt])
+        wgt_all = jnp.concatenate([wgt, iwgt])
+        iiv = jnp.asarray(np.concatenate([iip, iii]))
+        jjv = jnp.asarray(np.concatenate([jjp, ijj]))
+        vv = jnp.asarray(np.concatenate([valid, ivalid]))
+        for _ in range(n):
+            self.state.store = kstore.ba(
+                self.state.store, tgt_all, wgt_all, eta, iiv, jjv, vv,
+                groups, t0, t1, iters=itrs, motion_only=motion_only,
+                metric_depth_reg=self.state.metric_depth_reg,
+                uncertainty_aware=self.state.uncertainty_aware,
+                pmax=self.pmax)
+        # keep disps_up in sync (mapper/eval consumers): plain bilinear
+        # upsample of the window frames (the oracle has no learned upmask)
+        fb = max(0, t1 - self.pmax)
+        frames = jnp.clip(fb + jnp.arange(self.pmax), 0, F - 1)
+        up = jax.image.resize(
+            self.state.store.disps[frames],
+            (self.pmax,) + self.state.store.disps_up.shape[-2:], "bilinear")
+        self.state.store = self.state.store._replace(
+            disps_up=self.state.store.disps_up.at[frames].set(up))
+        self.age += n
+        return jnp.int32(n), jnp.float32(0.0)
 
     def _update_n_sharded(self, n, t0, t1, itrs, use_inactive, motion_only):
         """Mesh-mode update_n: n edge-sharded track steps over the device
@@ -695,6 +775,27 @@ class FactorGraph:
             t0 = 1
         if pmax is None:
             pmax = _bucket(t1 - t0 + 1)
+
+        if self.gt_injection is not None:
+            # oracle variant: GT-reprojection targets, REAL full-window BA
+            cap = _bucket(self.ii.shape[0])
+            iip, jjp, valid = self._padded_edges(self.ii, self.jj, cap)
+            tgt, wgt = self._oracle_targets(iip, jjp)
+            self.target = self._write(self.target, tgt, jnp.int32(0))
+            self.weight = self._write(self.weight, wgt, jnp.int32(0))
+            ii_groups = iip * valid + (1 - valid) * -1
+            groups = jnp.asarray(dba.make_edge_groups(
+                ii_groups, F, self.group_degree))
+            eta = 0.2 * self.damping + EP_DAMP
+            for _ in range(steps):
+                self.state.store = kstore.ba(
+                    self.state.store, tgt, wgt, eta, jnp.asarray(iip),
+                    jnp.asarray(jjp), jnp.asarray(valid), groups, t0, t1,
+                    iters=itrs, lm=1e-5, ep=1e-2,
+                    metric_depth_reg=self.state.metric_depth_reg,
+                    uncertainty_aware=self.state.uncertainty_aware,
+                    pmax=pmax)
+            return
 
         fpyr = correlation.fmap_pyramid(store.fmaps)
 
