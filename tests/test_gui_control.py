@@ -100,3 +100,47 @@ def test_live_map_viewer(tmp_path):
     pos = np.frombuffer(base64.b64decode(m["pos"]), np.float32)
     assert pos.shape == (3 * M,) and np.isfinite(pos).all()
     assert "live.html" in (gdir / "index.html").read_text()
+
+
+def test_export_splat_viewer(tmp_path):
+    """WebGL2 splat viewer export: real gaussian data packed (pos, rgb+op,
+    cov6) with the EWA shader embedded (reference parity:
+    src/gui/gl_render/render_ogl.py sort-and-blend GLSL)."""
+    import numpy as np
+
+    from wildgs_slam_tpu.gui.html_viewer import export_splat_viewer
+
+    rng = np.random.RandomState(0)
+    n = 500
+    q = rng.randn(n, 4)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    p = export_splat_viewer(
+        str(tmp_path / "splat.html"), rng.randn(n, 3),
+        rng.rand(n, 3), rng.rand(n), np.exp(rng.randn(n, 3) * 0.3) * 0.05,
+        q)
+    html = open(p).read()
+    assert "gl_Position" in html and "drawArraysInstanced" in html
+    assert f"const N={n};" in html
+    import base64
+    import re
+
+    b64 = re.search(r'B64="([^"]+)"', html).group(1)
+    f32 = np.frombuffer(base64.b64decode(b64), np.float32)
+    assert f32.size == 13 * n  # 3 pos + 4 rgba + 6 cov
+    assert np.isfinite(f32).all()
+
+
+def test_export_viewer_from_map(tmp_path):
+    import numpy as np
+
+    from wildgs_slam_tpu.gui.html_viewer import export_viewer_from_map
+    from wildgs_slam_tpu.slam import gaussian_map as gm
+
+    m = gm.create(64, max_sh_degree=0)
+    m = m._replace(aux=m.aux._replace(
+        alive=m.aux.alive.at[:32].set(True)))
+    out = export_viewer_from_map(str(tmp_path / "map_viewer.html"), m)
+    assert out.endswith("map_viewer.html")
+    import os
+    assert os.path.exists(str(tmp_path / "map_viewer.html"))
+    assert os.path.exists(str(tmp_path / "map_viewer_points.html"))
