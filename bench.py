@@ -52,6 +52,9 @@ BIN_KW = int(os.environ.get("BENCH_BIN_KW", "4"))
 # onehot2 band cap: microbench_binning at this scale — onehot 1.51 ms/call,
 # onehot2:32 0.872, onehot2:64 0.907 (sort 1.82, topk 2.64)
 BIN_SEG_CAP = int(os.environ.get("BENCH_BIN_SEG_CAP", "32"))
+# per-tile list capacity; bin_overflow in the JSON proves losslessness
+CAPACITY = int(os.environ.get("BENCH_CAPACITY", "192"))
+CHUNK = int(os.environ.get("BENCH_CHUNK", "64"))
 
 
 def make_scene(key):
@@ -76,7 +79,7 @@ def main():
 
     def loss_fn(means, scales, opac, pose_delta):
         out = render(means, scales, rots, opac, sh, w2c, intr, (H, W),
-                     pose_delta=pose_delta, capacity=192, chunk=64,
+                     pose_delta=pose_delta, capacity=CAPACITY, chunk=CHUNK,
                      bin_method=BIN_METHOD, bin_kw=BIN_KW,
                      bin_seg_cap=BIN_SEG_CAP)
         return jnp.mean((out.color - target) ** 2) + 0.01 * jnp.mean(
@@ -128,7 +131,7 @@ def main():
 
         def loss(means, scales, opac, pd):
             o = fn(means, scales, rots, opac, sh, w2c, intr, (H, W),
-                   pose_delta=pd, capacity=192, chunk=64,
+                   pose_delta=pd, capacity=CAPACITY, chunk=CHUNK,
                    bin_method=BIN_METHOD, bin_kw=BIN_KW,
                    bin_seg_cap=BIN_SEG_CAP)
             return jnp.mean((o.color - target) ** 2), o

@@ -57,7 +57,7 @@ def test_full_pipeline(tmp_path):
     t["warmup"] = 4
     t["force_keyframe_every_n_frames"] = 1  # timestamps step by 0.1
     t["motion_filter"]["thresh"] = 1e9      # rely on forced keyframes
-    t["frontend"].update(window=6, max_factors=32, enable_loop=False)
+    t["frontend"].update(window=6, max_factors=32, enable_loop=True)
     t["backend"]["ba_freq"] = 100
     m = cfg["mapping"]
     m["final_refine_iters"] = 5

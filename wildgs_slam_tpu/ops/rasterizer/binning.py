@@ -247,7 +247,10 @@ def bin_gaussians(
         padN = nb * CHUNK - N
         maskp = jnp.pad(mask, ((0, 0), (0, padN)))
         # 1-based running intersection count per tile over the sorted order
-        cum = cumsum_mxu(maskp.astype(jnp.float32), axis=1).astype(jnp.int32)
+        # (bf16 operands are exact for 0/1 masks; 1/6 the MXU passes)
+        cum = cumsum_mxu(maskp.astype(jnp.bfloat16), axis=1,
+                         precision=jax.lax.Precision.DEFAULT
+                         ).astype(jnp.int32)
         total_true = cum[:, -1]
         svp = jnp.pad(order.astype(jnp.float32) + 1.0, (0, padN))
         slots_a = jnp.arange(SC, dtype=jnp.int32)
@@ -275,8 +278,9 @@ def bin_gaussians(
 
         # stage B: concatenate the band mini-lists into the final table
         live_b = vb > 0.5
-        cum_b = cumsum_mxu(live_b.astype(jnp.float32),
-                           axis=1).astype(jnp.int32)
+        cum_b = cumsum_mxu(live_b.astype(jnp.bfloat16), axis=1,
+                           precision=jax.lax.Precision.DEFAULT
+                           ).astype(jnp.int32)
         total_a = cum_b[:, -1]
         counts = jnp.minimum(total_a, capacity)
         wp_b = jnp.where(live_b & (cum_b - 1 < capacity), cum_b - 1,
@@ -328,7 +332,9 @@ def bin_gaussians(
     # and dominated the whole rasterizer in round 1.
     from ..scanops import cumsum_mxu
 
-    pos = cumsum_mxu(mask.astype(jnp.float32), axis=1).astype(jnp.int32) - 1
+    pos = cumsum_mxu(mask.astype(jnp.bfloat16), axis=1,
+                     precision=jax.lax.Precision.DEFAULT
+                     ).astype(jnp.int32) - 1
     counts = jnp.minimum(pos[:, -1] + 1, capacity)
     overflow = (jnp.sum(jnp.maximum(pos[:, -1] + 1 - capacity, 0))
                 + win_trunc)

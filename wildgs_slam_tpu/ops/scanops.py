@@ -24,25 +24,34 @@ def _lower_tri(k: int, inclusive: bool) -> np.ndarray:
 
 
 def cumsum_mxu(x: jax.Array, axis: int, inclusive: bool = True,
-               block: int = 512) -> jax.Array:
-    """Prefix sum along `axis` via (blocked) triangular matmul."""
+               block: int = 512, precision=None) -> jax.Array:
+    """Prefix sum along `axis` via (blocked) triangular matmul.
+
+    precision defaults to HIGHEST (6-pass fp32 MXU) — required when x has
+    full fp32 mantissas (the log-transmittance chains). For 0/1 MASK inputs
+    pass x as bfloat16 with precision=DEFAULT: the operands are bf16-exact
+    and accumulation is f32, so integer counts come out exact at 1/6 the
+    MXU passes (the binning compactions use this)."""
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     x = jnp.moveaxis(x, axis, -1)
     *lead, K = x.shape
+    ldt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     if K <= block:
-        L = jnp.asarray(_lower_tri(K, inclusive))
+        L = jnp.asarray(_lower_tri(K, inclusive)).astype(ldt)
         out = jnp.einsum("kj,...j->...k", L, x,
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=precision)
     else:
         nb = -(-K // block)
         pad = nb * block - K
         xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, pad)])
         xb = xp.reshape(*lead, nb, block)
-        L = jnp.asarray(_lower_tri(block, inclusive))
+        L = jnp.asarray(_lower_tri(block, inclusive)).astype(ldt)
         within = jnp.einsum("kj,...bj->...bk", L, xb,
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-        block_sums = xb.sum(-1)
+                            precision=precision)
+        block_sums = xb.astype(jnp.float32).sum(-1)
         offsets = jnp.cumsum(block_sums, axis=-1) - block_sums  # (..., nb)
         out = (within + offsets[..., None]).reshape(*lead, nb * block)[..., :K]
     return jnp.moveaxis(out, -1, axis)

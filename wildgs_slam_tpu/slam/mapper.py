@@ -646,7 +646,24 @@ class Mapper:
 
     def _opt_steps(self, K, view_pool, probs, freeze_after,
                    initialization=False):
-        """One jitted segment of K iterations."""
+        """One jitted segment of K iterations.
+
+        Segments are capped at mapping.max_segment_iters (default 64):
+        a K=512 scan of the full opt body at mapping scale is a huge HLO
+        whose remote compile can take tens of minutes, while 64-step
+        programs compile fast and extra dispatches cost ~20 us each —
+        reference-parity iteration counts (450/1050) run as a handful of
+        64-step dispatches."""
+        max_k = int(self.mc.get("max_segment_iters", 64))
+        while K > max_k:
+            self._opt_steps_one(max_k, view_pool, probs, freeze_after,
+                                initialization)
+            K -= max_k
+        return self._opt_steps_one(K, view_pool, probs, freeze_after,
+                                   initialization)
+
+    def _opt_steps_one(self, K, view_pool, probs, freeze_after,
+                       initialization=False):
         fh, fw = self.vstore.features.shape[1:3]
         stride = self.loss_cfg["uncertainty_params"]["reg_stride"]
         n_samples = max(1, 5 * fh * fw // (stride ** 4))
