@@ -94,27 +94,49 @@ def project_gaussians(
     txz = jnp.clip(t[..., 0] / tz_safe, -limx, limx) * tz_safe
     tyz = jnp.clip(t[..., 1] / tz_safe, -limy, limy) * tz_safe
 
-    # affine Jacobian of the projection at the (clamped) center
+    # affine Jacobian of the projection at the (clamped) center.
+    #
+    # The 2D covariance JW Σ JWᵀ (JW = J·Rcw, Σ = M Mᵀ, M = R·diag(s)) is
+    # computed CHANNELWISE on (N,) arrays rather than as batched (N,2,3)/
+    # (N,3,3) matmuls: XLA lowers tiny-batched dots by padding the 3-wide
+    # contraction onto MXU tiles (>40x wasted lanes) — the round-3 traces put
+    # projection at ~0.5 ms (bench) / ~6 ms (mapping scale) mostly here.
+    # With p = Mᵀu, q = Mᵀv (u, v = the two rows of J·Rcw):
+    #   cov2d = [[p·p, p·q], [p·q, q·q]]   — exact same math, pure VPU.
     inv_z = 1.0 / tz_safe
     inv_z2 = inv_z * inv_z
-    o = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            fx * inv_z, o, -fx * txz * inv_z2,
-            o, fy * inv_z, -fy * tyz * inv_z2,
-        ],
-        axis=-1,
-    ).reshape(-1, 2, 3)
+    j00 = fx * inv_z
+    j02 = -fx * txz * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * tyz * inv_z2
 
     Rcw = lie.quat_to_matrix(w2c[3:7])  # (3, 3) world->camera rotation
-    cov3d = compute_cov3d(scales * scale_modifier, rotations)  # (N, 3, 3)
-    JW = J @ Rcw  # (N, 2, 3)
-    cov2d = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)  # (N, 2, 2)
+    # u = j00·Rcw[0] + j02·Rcw[2];  v = j11·Rcw[1] + j12·Rcw[2]   (N, 3) as
+    # three (N,) channels each
+    u = [j00 * Rcw[0, k] + j02 * Rcw[2, k] for k in range(3)]
+    v = [j11 * Rcw[1, k] + j12 * Rcw[2, k] for k in range(3)]
+
+    # rotation channels R[i][j] of each gaussian (elementwise quat algebra)
+    qx, qy, qz, qw = (rotations[:, 0], rotations[:, 1], rotations[:, 2],
+                      rotations[:, 3])
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    R = [[1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+         [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
+         [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)]]
+    s = [scales[:, k] * scale_modifier for k in range(3)]
+
+    # p_j = s_j · Σ_i R[i][j]·u_i ;  q_j likewise with v
+    p = [s[j] * (R[0][j] * u[0] + R[1][j] * u[1] + R[2][j] * u[2])
+         for j in range(3)]
+    q = [s[j] * (R[0][j] * v[0] + R[1][j] * v[1] + R[2][j] * v[2])
+         for j in range(3)]
 
     # low-pass dilation (ensures every splat covers >= ~1 pixel)
-    a = cov2d[..., 0, 0] + 0.3
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1] + 0.3
+    a = p[0] * p[0] + p[1] * p[1] + p[2] * p[2] + 0.3
+    b = p[0] * q[0] + p[1] * q[1] + p[2] * q[2]
+    c = q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + 0.3
 
     det = a * c - b * b
     det_safe = jnp.where(det <= 0, 1.0, det)
