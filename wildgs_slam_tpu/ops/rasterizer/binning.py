@@ -231,6 +231,28 @@ def bin_gaussians(
         # savings — use the plain one-stage compaction
         method = "onehot"
 
+    def _compact_dot(onehot_eq, vals):
+        """Σ_n [onehot_eq] · vals with bf16 operands where exact.
+
+        onehot_eq: (..., n, c) bool; vals: (..., n) float32 integer-valued in
+        [0, N+1]. For N+1 <= 2^16 the value splits into two bf16-exact digits
+        (hi = v // 256 <= 256, lo = v % 256 < 256); 0/1 one-hots are bf16-
+        exact, products are the digits themselves, and accumulation is f32
+        (integer partial sums < 2^24) — bitwise equal to the fp32 einsum at
+        half the VPU multiply-reduce width. Falls back to fp32 above 2^16.
+        """
+        if N + 1 <= 65536 and jax.default_backend() == "tpu":
+            hi = jnp.floor(vals / 256.0)
+            v2 = jnp.stack([hi, vals - 256.0 * hi], axis=-1)  # (..., n, 2)
+            oh = onehot_eq.astype(jnp.bfloat16)
+            sub = "tnc,nk->tck" if vals.ndim == 1 else "tnc,tnk->tck"
+            s2 = jnp.einsum(sub, oh, v2.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            return s2[..., 0] * 256.0 + s2[..., 1]
+        sub = "tnc,n->tc" if vals.ndim == 1 else "tnc,tn->tc"
+        return jnp.einsum(sub, onehot_eq.astype(jnp.float32), vals,
+                          preferred_element_type=jnp.float32)
+
     if method == "onehot2":
         # Two-stage segmented compaction. Stage A: each 512-wide depth-rank
         # band (== one scan chunk of the sorted order) compacts its per-tile
@@ -255,7 +277,7 @@ def bin_gaussians(
         svp = jnp.pad(order.astype(jnp.float32) + 1.0, (0, padN))
         slots_a = jnp.arange(SC, dtype=jnp.int32)
 
-        def body_a(_, c):
+        def body_a(c):
             cum_c = jax.lax.dynamic_slice_in_dim(cum, c * CHUNK, CHUNK,
                                                  axis=1)
             m_c = jax.lax.dynamic_slice_in_dim(maskp, c * CHUNK, CHUNK,
@@ -267,14 +289,18 @@ def bin_gaussians(
             base = cum_c[:, :1] - m_c[:, :1].astype(jnp.int32)   # (T, 1)
             wp = cum_c - 1 - base                                # (T, CHUNK)
             wp = jnp.where(m_c & (wp < SC), wp, SC)
-            onehot = (wp[:, :, None] == slots_a[None, None, :]).astype(
-                jnp.float32)                                     # (T,CK,SC)
-            seg = jnp.einsum("tnc,n->tc", onehot, sv_c,
-                             preferred_element_type=jnp.float32)
-            return None, seg
+            eq = wp[:, :, None] == slots_a[None, None, :]        # (T,CK,SC)
+            return _compact_dot(eq, sv_c)
 
-        _, segs = jax.lax.scan(body_a, None, jnp.arange(nb))
-        vb = jnp.swapaxes(segs, 0, 1).reshape(n_tiles, nb * SC)
+        if nb <= 16:
+            # static unroll: lets XLA turn the band slices into static slices
+            # and fuse across bands (a lax.scan adds per-step while overhead
+            # comparable to the band einsum itself at bench scale)
+            vb = jnp.concatenate([body_a(c) for c in range(nb)], axis=1)
+        else:
+            _, segs = jax.lax.scan(lambda _, c: (None, body_a(c)), None,
+                                   jnp.arange(nb))
+            vb = jnp.swapaxes(segs, 0, 1).reshape(n_tiles, nb * SC)
 
         # stage B: concatenate the band mini-lists into the final table
         live_b = vb > 0.5
@@ -296,13 +322,16 @@ def bin_gaussians(
         def body_b(acc, c):
             wp_c = jax.lax.dynamic_slice_in_dim(wp_bp, c * CH2, CH2, axis=1)
             v_c = jax.lax.dynamic_slice_in_dim(vbp, c * CH2, CH2, axis=1)
-            onehot = (wp_c[:, :, None] == slots_b[None, None, :]).astype(
-                jnp.float32)
-            return acc + jnp.einsum("tnc,tn->tc", onehot, v_c,
-                                    preferred_element_type=jnp.float32), None
+            eq = wp_c[:, :, None] == slots_b[None, None, :]
+            return acc + _compact_dot(eq, v_c), None
 
-        ids_f, _ = jax.lax.scan(body_b, jnp.zeros((n_tiles, capacity)),
-                                jnp.arange(nb2))
+        if nb2 <= 16:
+            ids_f = jnp.zeros((n_tiles, capacity))
+            for c in range(nb2):
+                ids_f, _ = body_b(ids_f, c)
+        else:
+            ids_f, _ = jax.lax.scan(body_b, jnp.zeros((n_tiles, capacity)),
+                                    jnp.arange(nb2))
         ids = ids_f.astype(jnp.int32) - 1
         # dropped = true intersections - kept (band truncation + capacity)
         overflow = jnp.sum(total_true - counts)
@@ -369,14 +398,17 @@ def bin_gaussians(
         def body(acc, c):
             wp_c = jax.lax.dynamic_slice_in_dim(wp, c * CHUNK, CHUNK, axis=1)
             sv_c = jax.lax.dynamic_slice_in_dim(sv, c * CHUNK, CHUNK, axis=0)
-            onehot = (wp_c[:, :, None] == slots[None, None, :]).astype(
-                jnp.float32)  # (T, CHUNK, capacity)
-            acc = acc + jnp.einsum("tnc,n->tc", onehot, sv_c,
-                                   preferred_element_type=jnp.float32)
+            eq = wp_c[:, :, None] == slots[None, None, :]  # (T, CHUNK, cap)
+            acc = acc + _compact_dot(eq, sv_c)
             return acc, None
 
-        ids_f, _ = jax.lax.scan(body, jnp.zeros((n_tiles, capacity)),
-                                jnp.arange(nb))
+        if nb <= 16:
+            ids_f = jnp.zeros((n_tiles, capacity))
+            for c in range(nb):
+                ids_f, _ = body(ids_f, c)
+        else:
+            ids_f, _ = jax.lax.scan(body, jnp.zeros((n_tiles, capacity)),
+                                    jnp.arange(nb))
         ids = ids_f.astype(jnp.int32) - 1  # empty slots -> -1
 
     rev_pos = rev_live = None

@@ -73,6 +73,21 @@ def _incl_scan(x, ck):
     return s
 
 
+def _incl_prod(x, ck):
+    """Inclusive prefix PRODUCT along the sublane axis: log2(ck) shifted
+    multiplies (ones shifted in). Exact sequential fp32 products — the same
+    associativity class as the CUDA kernel's running T *= (1-alpha), and
+    cheaper than the round-2 exp(cumsum(log)) form (two transcendental
+    passes saved per chunk)."""
+    s = x
+    sh = 1
+    while sh < ck:
+        s = s * jnp.concatenate(
+            [jnp.ones((sh, s.shape[1]), s.dtype), s[:-sh, :]], axis=0)
+        sh *= 2
+    return s
+
+
 def _pixel_coords(t, tw):
     """Pixel (x, y) float coords of tile t as (1, P) rows."""
     ty = (t // tw).astype(jnp.float32)
@@ -135,7 +150,7 @@ def _fwd_one_tile(t, g, counts_ref, tile_ids_ref, attrs_ref, bg_ref,
             blk = attrs_ref[g, sl, :]                     # (CK, ATTR_F)
             alpha, _, _, _, _, _, _ = _chunk_geometry(blk, live, px, py)
             one_m = jnp.maximum(1.0 - alpha, _ONE_M_MIN)
-            t_incl = jnp.exp(_incl_scan(jnp.log(one_m), ck))
+            t_incl = _incl_prod(one_m, ck)
             T = acc_s[5:6, :]
             t_after = T * t_incl                          # (CK, P)
             t_before = t_after / one_m
@@ -208,7 +223,7 @@ def _bwd_one_tile(t, g, counts_ref, tile_ids_ref, attrs_ref, bg_ref,
 
             T0 = tentry_ref[g, c:c + 1, :]                # (1, P) static c
             one_m = jnp.maximum(1.0 - alpha, _ONE_M_MIN)
-            t_incl = jnp.exp(_incl_scan(jnp.log(one_m), ck))
+            t_incl = _incl_prod(one_m, ck)
             t_after = T0 * t_incl
             t_before = t_after / one_m
             contrib = (t_after >= _T_EPS).astype(jnp.float32)

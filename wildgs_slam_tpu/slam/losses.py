@@ -148,6 +148,7 @@ def mapping_loss_uncertainty(
                                 #  "lambda_dssim"} + uncertainty_params dict
     initialization: bool = False,
     freeze_uncertainty_loss: bool = False,
+    ref_depth_median: jax.Array | None = None,
 ) -> UncertaintyLossOut:
     up = cfg["uncertainty_params"]
     alpha = cfg.get("alpha", 0.95)
@@ -159,7 +160,12 @@ def mapping_loss_uncertainty(
     rgb_mask = (gt_img.sum(-1) > cfg["rgb_boundary_threshold"])[..., None]
     l1_rgb = jnp.abs(img_ab * rgb_mask - gt_img * rgb_mask)
 
-    med = jnp.median(ref_depth)
+    # ref_depth is constant per view within an optimization segment, and a
+    # full-image jnp.median lowers to an H*W sort (~2.5 ms at 384x512 on
+    # v5e) — hot callers precompute per-view medians once per segment and
+    # pass them in (slam/mapper.py _opt_segment).
+    med = (jnp.median(ref_depth) if ref_depth_median is None
+           else ref_depth_median)
     depth_threshold = jnp.minimum(10 * med, 50.0)
     depth_mask = (ref_depth > 0.01) & (ref_depth < depth_threshold)
     l1_depth = jnp.abs(rendered_depth * depth_mask - ref_depth * depth_mask)

@@ -195,7 +195,8 @@ def _opt_segment(gmap, vstore, uncer_params, uncer_mu, uncer_nu, uncer_count,
                 train_frac=up["train_frac_fix"],
                 ssim_frac=up["train_frac_fix"],
                 cfg=cfg_static, initialization=initialization,
-                freeze_uncertainty_loss=False)
+                freeze_uncertainty_loss=False,
+                ref_depth_median=vstore.depth_med[idx])
             total = jnp.where(freeze,
                               lo.total - up["ssim_mult"] * lo.uncer_loss.mean()
                               + up["ssim_mult"] * jax.lax.stop_gradient(
@@ -915,7 +916,9 @@ class Mapper:
                         self.intrinsics_full)
                     self.vstore = self.vstore._replace(
                         depths=self.vstore.depths.at[video_idx].set(
-                            depth_new))
+                            depth_new),
+                        depth_med=self.vstore.depth_med.at[video_idx].set(
+                            jnp.median(depth_new)))
                     self.depth_dict[video_idx] = depth_new
             self.cam_w2c_old[video_idx] = poses_host[video_idx]
 

@@ -32,6 +32,10 @@ class ViewpointStore(NamedTuple):
     exposure_nu: jax.Array  # (B, 2) Adam v
     exposure_count: jax.Array  # (B,) per-view Adam step (reset per keyframe)
     valid: jax.Array        # (B,) bool is_kf
+    # per-view median of `depths`, cached at write time: the uncertainty
+    # mapping loss needs it every iteration and a full-image jnp.median is
+    # an H*W device sort (~2.5 ms at 384x512 on v5e)
+    depth_med: jax.Array    # (B,)
 
 
 def create(capacity: int, ht: int, wd: int, feat_hw=(0, 0), feat_dim=384):
@@ -47,6 +51,7 @@ def create(capacity: int, ht: int, wd: int, feat_hw=(0, 0), feat_dim=384):
         exposure_nu=jnp.zeros((capacity, 2)),
         exposure_count=jnp.zeros((capacity,), jnp.int32),
         valid=jnp.zeros((capacity,), bool),
+        depth_med=jnp.zeros((capacity,)),
     )
 
 
@@ -60,6 +65,7 @@ def set_view(vs: ViewpointStore, idx, color, depth, w2c, features=None,
         w2c=vs.w2c.at[idx].set(w2c),
         colors=vs.colors.at[idx].set(color.astype(jnp.bfloat16)),
         depths=vs.depths.at[idx].set(depth),
+        depth_med=vs.depth_med.at[idx].set(jnp.median(depth)),
         grad_mask=vs.grad_mask.at[idx].set(gmask),
         valid=vs.valid.at[idx].set(True),
     )
