@@ -40,7 +40,13 @@ from wildgs_slam_tpu.ops.rasterizer import render_pallas as render
 
 N_GAUSS = 5000
 H, W = 240, 320
-ITERS = 50
+# 400 iterations inside ONE scan: the tunneled device pays a ~25 ms
+# fixed cost per blocking dispatch (fresh-value sync, see PERF.md §3) that
+# at 50 iters inflated every per-iter number by ~0.5 ms. The real mapper
+# dispatches 64-512-iteration segments, so a long scan is the honest
+# operating point; the scan-length sweep (iters 20/100/400 = 1.46/0.49/
+# 0.31 ms/call on the binning microbench) shows 400 sits at the asymptote.
+ITERS = int(os.environ.get("BENCH_ITERS", "400"))
 TARGET_RAYS_PER_S = 50e6
 # tile-binning method for the hot loop (see ops/rasterizer/binning.py).
 # v5e A/B at this scale (N=5k): onehot2(seg 32) 33.7 Mrays/s end-to-end vs
