@@ -171,6 +171,33 @@ def main():
     pallas_check = "ok" if not bad else "FAIL:" + ",".join(
         f"{k}={errs[k]:.2e}" for k in bad)
 
+    # On-device gate for the bf16 digit-split compaction (binning.py
+    # _compact_dot): the CPU test suite only exercises the fp32 fallback;
+    # here the bf16 path must reproduce the fp32 einsum's ids/counts
+    # BITWISE (it is exact by construction for N+1 <= 2^16).
+    from wildgs_slam_tpu.ops.rasterizer import binning as _B
+    from wildgs_slam_tpu.ops.rasterizer import projection as _P
+
+    def _bins(force_fp32):
+        orig = jax.default_backend
+        if force_fp32:
+            jax.default_backend = lambda: "cpu"  # trace-time branch only
+        try:
+            proj = _P.project_gaussians(means, scales, rots, opac, sh, w2c,
+                                        intr, (H, W))
+            return jax.jit(lambda m, r, d, v: _B.bin_gaussians(
+                m, r, d, v, (H, W), capacity=CAPACITY, method="onehot2",
+                seg_cap=BIN_SEG_CAP, with_rev=False))(
+                    proj.mean2d, proj.radius, proj.depth, proj.valid)
+        finally:
+            if force_fp32:
+                jax.default_backend = orig
+
+    b_bf, b_f32 = _bins(False), _bins(True)
+    bin_check = ("ok" if (bool(jnp.all(b_bf.ids == b_f32.ids))
+                          and bool(jnp.all(b_bf.counts == b_f32.counts)))
+                 else "FAIL")
+
     print(json.dumps({
         "metric": "rasterize_fwd_bwd_pose_grad_5k_320x240",
         "value": round(rays_per_s, 1),
@@ -179,6 +206,7 @@ def main():
         "pallas_check": pallas_check,
         "pallas_relerr": {k: round(v, 6) for k, v in errs.items()},
         "bin_overflow": int(pov),
+        "bin_bf16_check": bin_check,
     }))
 
 

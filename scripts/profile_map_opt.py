@@ -60,7 +60,8 @@ def main():
     tr["mapping_itr_num"] = K
     tr["window_size"] = 8
     cfg["mapping"]["gaussian_capacity"] = 131072
-    cfg["mapping"]["render_list_capacity"] = 512
+    cfg["mapping"]["render_list_capacity"] = int(
+        os.environ.get("PM_CAP", "512"))
     cfg["tracking"]["buffer"] = n_kf + 2
     if bin_method:
         cfg["mapping"]["bin_method"] = bin_method

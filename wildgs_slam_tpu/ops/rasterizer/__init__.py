@@ -254,12 +254,16 @@ def render_pallas(
     # ONE lane-packed (N, 16) attribute table -> ONE row gather into the
     # per-tile tables (and one row scatter-add VJP). The round-1 design's
     # five separate per-column gathers lowered to serial element gathers
-    # (~0.6 ms each on v5e) and dominated the whole rasterizer.
-    attrs = jnp.concatenate(
-        [mean2d, proj.conic, proj.color, proj.opacity[:, None],
-         proj.depth[:, None],
-         jnp.zeros((means3d.shape[0], pc.ATTR_F - 10), mean2d.dtype)],
-        axis=1)
+    # (~0.6 ms each on v5e) and dominated the whole rasterizer. Built as a
+    # single 16-channel stack: concatenating (N,1)/(N,2)/(N,3) pieces left
+    # XLA staging the narrow columns through T(1,128)-layout copies
+    # (~3 ms/iter at mapping scale in the round-4 trace).
+    zc = jnp.zeros_like(proj.depth)
+    attrs = jnp.stack(
+        [mean2d[:, 0], mean2d[:, 1], proj.conic[:, 0], proj.conic[:, 1],
+         proj.conic[:, 2], proj.color[:, 0], proj.color[:, 1],
+         proj.color[:, 2], proj.opacity, proj.depth]
+        + [zc] * (pc.ATTR_F - 10), axis=1)
     safe_ids = jnp.maximum(bins.ids, 0)
     if bins.rev_pos is not None:
         tile_attrs = _gather_rows_rev(attrs, safe_ids, bins.rev_pos,
