@@ -155,3 +155,45 @@ def test_checkpoint_converter_roundtrip(tmp_path):
     kt = sd["fnet.conv1.weight"].numpy()
     kf = np.asarray(params["fnet"]["conv1"]["kernel"])
     np.testing.assert_allclose(kf, kt.transpose(2, 3, 1, 0), atol=1e-6)
+
+
+def test_update_module_bf16_close_to_f32():
+    """The TPU path runs the nets in bfloat16 compute (the reference runs
+    them under fp16 autocast, factor_graph.py:225-241); the bf16 module must
+    track the fp32 module to mixed-precision tolerance."""
+    params = dn.init_droid_params(jax.random.PRNGKey(2), ht=64, wd=96)
+    rng = np.random.RandomState(0)
+    E, h, w, Fr = 3, 8, 12, 3
+    net = jnp.asarray(rng.randn(E, h, w, 128).astype(np.float32) * 0.3)
+    inp = jnp.asarray(rng.rand(E, h, w, 128).astype(np.float32))
+    corr = jnp.asarray(rng.randn(E, h, w, 196).astype(np.float32))
+    flow = jnp.asarray(rng.randn(E, h, w, 4).astype(np.float32) * 0.1)
+    ii = jnp.array([0, 1, 2])
+
+    outs = {}
+    for dt in (jnp.float32, jnp.bfloat16):
+        outs[dt] = dn.UpdateModule(dtype=dt).apply(
+            {"params": params["update"]}, net, inp, corr, flow, ii, Fr)
+    for a, b, name, tol in zip(
+            outs[jnp.float32], outs[jnp.bfloat16],
+            ("net", "delta", "weight", "eta", "upmask"),
+            (0.05, 0.08, 0.08, 0.08, 0.30)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert b.dtype == np.float32, name  # outputs cast back to fp32
+        denom = np.abs(a).max() + 1e-6
+        err = np.abs(a - b).max() / denom
+        assert err < tol, (name, err)
+
+
+def test_encoder_bf16_close_to_f32():
+    params = dn.init_droid_params(jax.random.PRNGKey(3), ht=64, wd=96)
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    f32 = dn.BasicEncoder(128, "instance").apply({"params": params["fnet"]},
+                                                 img)
+    bf = dn.BasicEncoder(128, "instance", dtype=jnp.bfloat16).apply(
+        {"params": params["fnet"]}, img)
+    err = np.abs(np.asarray(f32) - np.asarray(bf)).max() / (
+        np.abs(np.asarray(f32)).max() + 1e-6)
+    assert np.asarray(bf).dtype == np.float32
+    assert err < 0.08, err

@@ -29,6 +29,20 @@ import jax.numpy as jnp
 GRAD_CLIP = 0.01
 
 
+def net_dtype():
+    """Compute dtype for the DROID nets on the current backend.
+
+    The reference runs fnet/cnet in half precision and the update op under
+    torch.cuda.amp.autocast (src/motion_filter.py, factor_graph.py:225-241);
+    bfloat16 is the TPU-native equivalent (2x MXU rate, fp32 weights).
+    CPU (tests, golden oracles) stays fp32. Set WILDGS_NET_F32=1 to force
+    fp32 on TPU."""
+    import os
+    if os.environ.get("WILDGS_NET_F32"):
+        return jnp.float32
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
 @jax.custom_vjp
 def grad_clip(x):
     return x
@@ -58,77 +72,101 @@ class ResidualBlock(nn.Module):
     planes: int
     norm_fn: str = "none"
     stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         def norm(y):
             if self.norm_fn == "instance":
-                return instance_norm(y)
+                # autocast keeps norms in fp32 (torch amp); so do we
+                return instance_norm(y.astype(jnp.float32))
             return y  # 'none'
 
         pad = ((1, 1), (1, 1))
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                    padding=pad, name="conv1")(x)
+                    padding=pad, name="conv1", dtype=self.dtype)(x)
         y = nn.relu(norm(y))
-        y = nn.Conv(self.planes, (3, 3), padding=pad, name="conv2")(y)
+        y = nn.Conv(self.planes, (3, 3), padding=pad, name="conv2",
+                    dtype=self.dtype)(y)
         y = nn.relu(norm(y))
         if self.stride > 1:
             x = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
-                        name="downsample")(x)
+                        name="downsample", dtype=self.dtype)(x)
             x = norm(x)
         return nn.relu(x + y)
 
 
 class BasicEncoder(nn.Module):
+    """1/8-res residual CNN (extractor.py:75-140).
+
+    `dtype` = compute dtype for the convolutions (weights stay fp32): the
+    reference runs fnet/cnet in fp16 (motion_filter.py half precision) —
+    bfloat16 is the TPU-native equivalent at 2x MXU rate. Norms compute in
+    fp32 like torch amp."""
     out_dim: int
     norm_fn: str = "none"
     dim: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         """x: (N, H, W, 3) -> (N, H/8, W/8, out_dim)."""
         h = nn.Conv(self.dim, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    name="conv1")(x)
+                    name="conv1", dtype=self.dtype)(x)
         if self.norm_fn == "instance":
-            h = instance_norm(h)
+            h = instance_norm(h.astype(jnp.float32))
         h = nn.relu(h)
         d = self.dim
         for li, (planes, stride) in enumerate(
                 [(d, 1), (2 * d, 2), (4 * d, 2)], start=1):
             h = ResidualBlock(planes, self.norm_fn, stride,
-                              name=f"layer{li}_0")(h)
-            h = ResidualBlock(planes, self.norm_fn, 1, name=f"layer{li}_1")(h)
-        return nn.Conv(self.out_dim, (1, 1), name="conv2")(h)
+                              name=f"layer{li}_0", dtype=self.dtype)(h)
+            h = ResidualBlock(planes, self.norm_fn, 1, name=f"layer{li}_1",
+                              dtype=self.dtype)(h)
+        out = nn.Conv(self.out_dim, (1, 1), name="conv2",
+                      dtype=self.dtype)(h)
+        return out.astype(jnp.float32)
 
 
 class ConvGRU(nn.Module):
     h_planes: int = 128
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, net, inp):
         """net (N,H,W,128); inp (N,H,W,*) concatenated inputs."""
         pad = ((1, 1), (1, 1))
+        dt = self.dtype
+        net = net.astype(dt)
+        inp = inp.astype(dt)
         net_inp = jnp.concatenate([net, inp], axis=-1)
 
-        glo = jax.nn.sigmoid(nn.Conv(self.h_planes, (1, 1), name="w")(net)) * net
-        glo = glo.mean(axis=(1, 2), keepdims=True)  # (N,1,1,128)
+        glo = jax.nn.sigmoid(
+            nn.Conv(self.h_planes, (1, 1), name="w", dtype=dt)(net)) * net
+        # global mean in fp32 (H*W-term reduction)
+        glo = glo.astype(jnp.float32).mean(axis=(1, 2), keepdims=True)
+        glo = glo.astype(dt)
 
         z = jax.nn.sigmoid(
-            nn.Conv(self.h_planes, (3, 3), padding=pad, name="convz")(net_inp)
-            + nn.Conv(self.h_planes, (1, 1), name="convz_glo")(glo))
+            nn.Conv(self.h_planes, (3, 3), padding=pad, name="convz",
+                    dtype=dt)(net_inp)
+            + nn.Conv(self.h_planes, (1, 1), name="convz_glo", dtype=dt)(glo))
         r = jax.nn.sigmoid(
-            nn.Conv(self.h_planes, (3, 3), padding=pad, name="convr")(net_inp)
-            + nn.Conv(self.h_planes, (1, 1), name="convr_glo")(glo))
+            nn.Conv(self.h_planes, (3, 3), padding=pad, name="convr",
+                    dtype=dt)(net_inp)
+            + nn.Conv(self.h_planes, (1, 1), name="convr_glo", dtype=dt)(glo))
         q = jnp.tanh(
-            nn.Conv(self.h_planes, (3, 3), padding=pad, name="convq")(
+            nn.Conv(self.h_planes, (3, 3), padding=pad, name="convq",
+                    dtype=dt)(
                 jnp.concatenate([r * net, inp], axis=-1))
-            + nn.Conv(self.h_planes, (1, 1), name="convq_glo")(glo))
-        return (1 - z) * net + z * q
+            + nn.Conv(self.h_planes, (1, 1), name="convq_glo", dtype=dt)(glo))
+        return ((1 - z) * net + z * q).astype(jnp.float32)
 
 
 class GraphAgg(nn.Module):
     """Per-source-frame aggregation producing damping + upsample mask
     (droid_net.py:48-80). The scatter_mean over ii becomes a segment mean."""
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, net, ii, num_frames: int):
@@ -137,42 +175,64 @@ class GraphAgg(nn.Module):
         Returns (eta (F,H,W), upmask (F,H,W,8*8*9)) for F=num_frames slots;
         slots with no edges are zero."""
         pad = ((1, 1), (1, 1))
-        h = nn.relu(nn.Conv(128, (3, 3), padding=pad, name="conv1")(net))
-        # segment mean over source frame
+        dt = self.dtype
+        h = nn.relu(nn.Conv(128, (3, 3), padding=pad, name="conv1",
+                            dtype=dt)(net))
+        # segment mean over source frame (fp32 accumulation)
+        h = h.astype(jnp.float32)
         seg_sum = jax.ops.segment_sum(h, ii, num_segments=num_frames)
         counts = jax.ops.segment_sum(jnp.ones((h.shape[0],)), ii,
                                      num_segments=num_frames)
         h = seg_sum / jnp.clip(counts, 1.0, None)[:, None, None, None]
-        h = nn.relu(nn.Conv(128, (3, 3), padding=pad, name="conv2")(h))
-        eta = nn.softplus(
-            grad_clip(nn.Conv(1, (3, 3), padding=pad, name="eta")(h)))[..., 0]
-        upmask = nn.Conv(8 * 8 * 9, (1, 1), name="upmask")(h)
+        h = nn.relu(nn.Conv(128, (3, 3), padding=pad, name="conv2",
+                            dtype=dt)(h))
+        eta = nn.softplus(grad_clip(
+            nn.Conv(1, (3, 3), padding=pad, name="eta",
+                    dtype=dt)(h).astype(jnp.float32)))[..., 0]
+        upmask = nn.Conv(8 * 8 * 9, (1, 1), name="upmask",
+                         dtype=dt)(h).astype(jnp.float32)
         return 0.01 * eta, upmask
 
 
 class UpdateModule(nn.Module):
-    """GRU update operator (droid_net.py:83-153). All tensors NHWC."""
+    """GRU update operator (droid_net.py:83-153). All tensors NHWC.
+
+    `dtype` = conv compute dtype. The reference runs this op under
+    torch.cuda.amp.autocast (factor_graph.py:225-241) with fp16 compute and
+    fp32 weights and casts the outputs back to fp32; bfloat16 here is the
+    TPU equivalent (weights stay fp32, outputs cast to fp32)."""
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, net, inp, corr, flow, ii, num_frames: int):
         """net (E,H,W,128), inp (E,H,W,128), corr (E,H,W,196),
         flow (E,H,W,4), ii (E,). Returns (net, delta, weight, eta, upmask)."""
         pad = ((1, 1), (1, 1))
-        c = nn.relu(nn.Conv(128, (1, 1), name="corr_enc1")(corr))
-        c = nn.relu(nn.Conv(128, (3, 3), padding=pad, name="corr_enc2")(c))
+        dt = self.dtype
+        c = nn.relu(nn.Conv(128, (1, 1), name="corr_enc1", dtype=dt)(corr))
+        c = nn.relu(nn.Conv(128, (3, 3), padding=pad, name="corr_enc2",
+                            dtype=dt)(c))
         f = nn.relu(nn.Conv(128, (7, 7), padding=((3, 3), (3, 3)),
-                            name="flow_enc1")(flow))
-        f = nn.relu(nn.Conv(64, (3, 3), padding=pad, name="flow_enc2")(f))
+                            name="flow_enc1", dtype=dt)(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), padding=pad, name="flow_enc2",
+                            dtype=dt)(f))
 
-        net = ConvGRU(name="gru")(net, jnp.concatenate([inp, c, f], axis=-1))
+        net = ConvGRU(name="gru", dtype=dt)(
+            net, jnp.concatenate([inp, c.astype(jnp.float32),
+                                  f.astype(jnp.float32)], axis=-1))
 
-        d = nn.relu(nn.Conv(128, (3, 3), padding=pad, name="delta1")(net))
-        delta = grad_clip(nn.Conv(2, (3, 3), padding=pad, name="delta2")(d))
-        w = nn.relu(nn.Conv(128, (3, 3), padding=pad, name="weight1")(net))
-        weight = jax.nn.sigmoid(
-            grad_clip(nn.Conv(2, (3, 3), padding=pad, name="weight2")(w)))
+        d = nn.relu(nn.Conv(128, (3, 3), padding=pad, name="delta1",
+                            dtype=dt)(net))
+        delta = grad_clip(
+            nn.Conv(2, (3, 3), padding=pad, name="delta2",
+                    dtype=dt)(d).astype(jnp.float32))
+        w = nn.relu(nn.Conv(128, (3, 3), padding=pad, name="weight1",
+                            dtype=dt)(net))
+        weight = jax.nn.sigmoid(grad_clip(
+            nn.Conv(2, (3, 3), padding=pad, name="weight2",
+                    dtype=dt)(w).astype(jnp.float32)))
 
-        eta, upmask = GraphAgg(name="agg")(net, ii, num_frames)
+        eta, upmask = GraphAgg(name="agg", dtype=dt)(net, ii, num_frames)
         return net, delta, weight, eta, upmask
 
 

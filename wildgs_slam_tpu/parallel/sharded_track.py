@@ -77,6 +77,7 @@ def make_sharded_track_step(mesh: Mesh, F: int, hw_shape, E_cap: int,
         ii_rel = jnp.where(gru_valid,
                            jnp.clip(ii - frame_base, 0, pmax - 1), pmax)
         net2, delta, weight2, eta_new, upmask = droid_net.UpdateModule(
+            dtype=droid_net.net_dtype(),
         ).apply({"params": params["update"]}, net, inp,
                 corr.astype(net.dtype), motn.astype(net.dtype), ii_rel, pmax)
         ii_rel = jnp.clip(ii - frame_base, 0, pmax - 1)

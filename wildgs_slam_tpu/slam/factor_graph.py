@@ -126,7 +126,7 @@ def _update_core(params, poses, disps, disps_up, intrinsics, uncert_inv,
             [corr_l0, corr_l1, corr_l2, corr_l3], coords1)
 
         net2, delta, weight2, eta_new, upmask = (
-            droid_net.UpdateModule().apply(
+            droid_net.UpdateModule(dtype=droid_net.net_dtype()).apply(
                 {"params": params["update"]}, net, inp,
                 corr.astype(net.dtype), motn.astype(net.dtype),
                 ii_rel_gru, pmax))
@@ -208,7 +208,7 @@ def _lowmem_gru_core(params, poses, disps, intrinsics, p0, p1, p2, p3,
     corr = correlation.alt_corr([p0, p1, p2, p3], coords1, ii, jj)
     ii_rel = jnp.where(edge_valid, jnp.clip(ii - frame_base, 0, pmax - 1),
                        pmax)
-    net2, delta, weight2, eta_new, _ = droid_net.UpdateModule().apply(
+    net2, delta, weight2, eta_new, _ = droid_net.UpdateModule(dtype=droid_net.net_dtype()).apply(
         {"params": params["update"]}, net, inp, corr.astype(net.dtype),
         motn.astype(net.dtype), ii_rel, pmax)
     net2 = jnp.where(edge_valid[:, None, None, None], net2, net)

@@ -36,9 +36,9 @@ def normalize_image(image: jax.Array) -> jax.Array:
 def _encode_all(params, image_norm):
     """fnet + cnet on one frame: returns (fmap, net, inp), (h, w, C)."""
     x = image_norm[None]
-    fmap = droid_net.BasicEncoder(128, "instance").apply(
+    fmap = droid_net.BasicEncoder(128, "instance", dtype=droid_net.net_dtype()).apply(
         {"params": params["fnet"]}, x)[0]
-    ctx = droid_net.BasicEncoder(256, "none").apply(
+    ctx = droid_net.BasicEncoder(256, "none", dtype=droid_net.net_dtype()).apply(
         {"params": params["cnet"]}, x)[0]
     net, inp = droid_net.context_split(ctx)
     return fmap, net, inp
@@ -46,7 +46,7 @@ def _encode_all(params, image_norm):
 
 @jax.jit
 def _encode_fmap(params, image_norm):
-    return droid_net.BasicEncoder(128, "instance").apply(
+    return droid_net.BasicEncoder(128, "instance", dtype=droid_net.net_dtype()).apply(
         {"params": params["fnet"]}, image_norm[None])[0]
 
 
@@ -58,7 +58,7 @@ def _flow_magnitude(params, fmap_last, gmap, net, inp):
     coords0 = projective.coords_grid(h, w)[None]
     corr = correlation.corr_lookup(pyr, coords0)
     flow = jnp.zeros((1, h, w, 4))
-    _, delta, _, _, _ = droid_net.UpdateModule().apply(
+    _, delta, _, _, _ = droid_net.UpdateModule(dtype=droid_net.net_dtype()).apply(
         {"params": params["update"]}, net[None], inp[None], corr, flow,
         jnp.zeros((1,), jnp.int32), 1)
     return jnp.linalg.norm(delta, axis=-1).mean()
