@@ -32,7 +32,7 @@ import numpy as np
 E = int(os.environ.get("CB_EDGES", "64"))
 H = int(os.environ.get("CB_H", "48"))
 W = int(os.environ.get("CB_W", "64"))
-ITERS = 20
+ITERS = int(os.environ.get("CB_ITERS", "100"))
 
 
 def main():
@@ -46,7 +46,7 @@ def main():
     coords0 = jnp.asarray(
         rng.uniform(0, min(H, W), size=(E, H, W, 2)).astype(np.float32))
 
-    for method in ("onehot", "patch", "gather"):
+    for method in os.environ.get("CB_METHODS", "onehot,patch").split(","):
 
         @jax.jit
         def loop(coords, acc):

@@ -266,3 +266,25 @@ def test_binning_onehot2_band_overflow_counted():
     np.testing.assert_array_equal(ids[:8], np.arange(8))
     np.testing.assert_array_equal(ids[8:16], 512 + np.arange(8))
     assert int(b.overflow) == N - 16
+
+
+def test_binning_onehot2_scan_path_matches_onehot():
+    """N > 16 bands takes the lax.scan stage-A path (the unrolled branch
+    covers nb <= 16); both must agree with the one-stage compaction."""
+    import numpy as np
+    from wildgs_slam_tpu.ops.rasterizer import binning
+
+    key = jax.random.PRNGKey(47)
+    k1, k2, k3 = jax.random.split(key, 3)
+    N = 8704  # 17 depth-rank bands of 512 -> scan path
+    mean2d = jax.random.uniform(k1, (N, 2)) * jnp.array([128.0, 96.0])
+    radius = (1.0 + 3.0 * jax.random.uniform(k2, (N,))).astype(jnp.int32)
+    depth = 1.0 + jax.random.uniform(k3, (N,))
+    valid = jax.random.uniform(jax.random.PRNGKey(48), (N,)) > 0.3
+
+    a = binning.bin_gaussians(mean2d, radius, depth, valid, (96, 128),
+                              capacity=256, method="onehot")
+    b = binning.bin_gaussians(mean2d, radius, depth, valid, (96, 128),
+                              capacity=256, method="onehot2", seg_cap=128)
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
