@@ -93,6 +93,73 @@ def test_mapper_initialize_and_keyframe(cfg):
     assert int((out > 0).sum()) > 0
 
 
+def test_non_metric_depth_branch(cfg):
+    """Non-metric-depth mapping branch (mapper.py:586-646): the frontend BA
+    depth is Splat-SLAM-filled with aligned mono depth, and keyframes with
+    < 100 multiview-valid pixels are invalid and skipped."""
+    import copy
+
+    c = copy.deepcopy(cfg)
+    c["tracking"]["backend"]["metric_depth_reg"] = False
+    c["mapping"]["Training"].update(init_itr_num=4, mapping_itr_num=2,
+                                    init_gaussian_update=3,
+                                    init_gaussian_reset=4)
+
+    intr = np.array([50.0, 50.0, WD / 2, HT / 2])
+    state = SlamState.create(c, HT, WD, intr, buffer=c["tracking"]["buffer"],
+                             metric_depth_reg=False)
+    rng = np.random.RandomState(0)
+    yy, xx = np.meshgrid(np.arange(HT), np.arange(WD), indexing="ij")
+    true_depth = (2.0 + 0.01 * xx + 0.005 * yy).astype(np.float32)
+    # mono prior = affine distortion of truth (scale 2.0, shift -1.0 in
+    # depth), so the fill has a real alignment to recover
+    mono_depth = (true_depth + 1.0) / 2.0
+
+    for i in range(3):
+        xi = np.zeros(6)
+        xi[0] = 0.05 * i
+        pose = lie.se3_exp(jnp.asarray(xi))
+        state.store = kstore.append(
+            state.store, i, float(i), pose=pose,
+            disp=jnp.asarray(1.0 / true_depth[::8, ::8]),
+            mono_depth_up=jnp.asarray(mono_depth))
+        dino = rng.rand(HT // 14, WD // 14, 384).astype(np.float32)
+        state.append_host(i, textured_wall(i), dino, float(i))
+
+    # frontend full-res depth + multiview validity: kf0 has a hole to be
+    # mono-filled, kf2 has < 100 valid pixels -> invalid
+    B = state.store.poses.shape[0]
+    disps_up = np.tile(1.0 / true_depth, (B, 1, 1))
+    mask = np.zeros((B, HT, WD), bool)
+    mask[0] = True
+    mask[0, 20:32, 20:40] = False
+    mask[1] = True
+    mask[2].reshape(-1)[:60] = True
+    state.store = state.store._replace(
+        disps_up=jnp.asarray(disps_up), valid_depth_mask=jnp.asarray(mask))
+
+    mapper = Mapper(state, c, rng_seed=0)
+    mapper.initialize_mapper(cur_video_idx=1)
+    assert mapper.is_kf[0] and mapper.is_kf[1]
+
+    # hole pixels were filled with scale/shift-aligned mono depth ~ truth
+    d0 = np.asarray(mapper.vstore.depths[0])
+    np.testing.assert_allclose(d0[~mask[0]],
+                               true_depth[~mask[0]], rtol=0.02)
+    np.testing.assert_allclose(d0[26, 30], true_depth[26, 30], rtol=0.02)
+    # alignment recovered scale=2, shift=-1 and was persisted into the store
+    assert abs(float(state.store.depth_scale[0]) - 2.0) < 0.05
+    assert abs(float(state.store.depth_shift[0]) + 1.0) < 0.1
+
+    # invalid keyframe is skipped entirely
+    n_before = int(gm.num_alive(mapper.gaussians))
+    mapper.on_keyframe(2, 2)
+    assert mapper.is_kf[2] is False
+    assert 2 not in mapper.current_window
+    assert 2 not in mapper.video_idxs
+    assert int(gm.num_alive(mapper.gaussians)) == n_before
+
+
 def test_refine_pose_non_key_frame():
     """Pose refinement against a known map recovers a perturbed pose
     (mapper.py:810-917 semantics)."""

@@ -93,3 +93,26 @@ def test_full_pipeline(tmp_path):
     data = np.load(os.path.join(out, "video.npz"))
     assert data["poses"].shape[0] >= 4
     assert np.all(np.isfinite(data["poses"]))
+
+    # render-quality floor (the reference's per-kf PSNR diagnostics,
+    # mapper.py:1489-1495): the final map must actually reconstruct a
+    # training view, not just produce finite artifacts
+    from wildgs_slam_tpu.slam.mapper import _render_view
+
+    mapper = slam.mapper
+    idx = [v for v in mapper.video_idxs if mapper.is_kf.get(v, False)][-1]
+    r = _render_view(mapper.gaussians.params, mapper.gaussians.aux.alive,
+                     mapper.vstore.w2c[idx], mapper.intrinsics_full,
+                     mapper.image_size, mapper.render_list_capacity, 64,
+                     bin_method=mapper.bin_method, bin_kw=mapper.bin_kw,
+                     bin_seg_cap=mapper.bin_seg_cap)
+    exp = np.asarray(mapper.vstore.exposure[idx])
+    img = np.clip(np.exp(exp[0]) * np.asarray(r.color) + exp[1], 0, 1)
+    gt = np.asarray(mapper.vstore.colors[idx]).astype(np.float32)
+    psnr = -10.0 * np.log10(((img - gt) ** 2).mean() + 1e-12)
+    # loose catastrophic-failure catch only: this scene's texture is NOT
+    # world-consistent and tracking runs random DROID weights, so ~7-8 dB is
+    # the healthy level here (the REAL reconstruction floor — 16 dB on a
+    # view-consistent scene with oracle geometry — lives in
+    # test_integrated_ate.py); a black/NaN/unrendered map lands below 3
+    assert psnr >= 5.0, f"training-view PSNR {psnr:.2f} dB below floor"

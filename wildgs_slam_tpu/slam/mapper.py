@@ -35,6 +35,7 @@ import numpy as np
 from ..models.uncertainty import UncertaintyMLP
 from ..ops import lie
 from ..ops.rasterizer import render, render_pallas
+from ..utils.printer import PRINTER, FontColor
 from ..utils.profiling import TIMER
 
 
@@ -44,6 +45,7 @@ def _fast_render(*args, **kwargs):
     if jax.default_backend() == "tpu":
         return render_pallas(*args, **kwargs)
     return render(*args, **kwargs)
+from . import depth_fill
 from . import gaussian_map as gm
 from . import keyframe_store as kstore
 from . import losses, pcd, viewpoints
@@ -493,6 +495,14 @@ class Mapper:
         depth, mask, c2w = kstore.get_depth_and_pose(
             store, video_idx, self.state.metric_depth_reg)
         w2c = lie.se3_inv(c2w)
+        if not self.state.metric_depth_reg:
+            # Splat-SLAM fill: < 100-valid keyframes are invalid -> skipped
+            # by the mapper (mapper.py:593-601); otherwise holes in the
+            # frontend depth are filled with aligned mono depth
+            depth, invalid = self._filled_depth(video_idx, depth, mask)
+            if invalid:
+                return True
+            depth = jnp.asarray(depth)
         color = jnp.asarray(self.state.images[video_idx])
         feats = (jnp.asarray(self.state.dino_feats[video_idx])
                  if self.state.dino_feats is not None else None)
@@ -501,7 +511,26 @@ class Mapper:
             edge_threshold=self.mc["Training"]["edge_threshold"])
         self.cam_w2c_old[video_idx] = np.asarray(w2c)
         self.depth_dict[video_idx] = depth
-        return False  # invalid only in the no-metric-depth ablation
+        return False
+
+    def _filled_depth(self, video_idx, est_depth, mask):
+        """Splat-SLAM mono-depth fill of one keyframe's frontend depth
+        (get_w2c_and_depth non-metric branch, mapper.py:586-646): erode the
+        mono support, NS-inpaint holes, scale/shift-align to the frontend
+        depth (persisted into the store like depth_video.py:375-385), fill
+        multiview-invalid pixels. Returns (depth (H,W) np, invalid)."""
+        store = self.state.store
+        mono_disp = np.asarray(store.mono_disps_up[video_idx])
+        mono_depth = np.where(
+            mono_disp > 0, 1.0 / np.where(mono_disp > 0, mono_disp, 1.0),
+            0.0).astype(np.float32)
+        filled, invalid, scale, shift = depth_fill.splat_slam_fill(
+            np.asarray(est_depth), np.asarray(mask), mono_depth)
+        if not invalid:
+            self.state.store = self.state.store._replace(
+                depth_scale=store.depth_scale.at[video_idx].set(scale),
+                depth_shift=store.depth_shift.at[video_idx].set(shift))
+        return filled, invalid
 
     # ------------------------------------------------------------------
     # covisibility window (mapper.py:648-706)
@@ -572,8 +601,8 @@ class Mapper:
         self.gaussians, dropped = gm.extend(self.gaussians, params, valid,
                                             kf_id=video_idx)
         if int(dropped) > 0:
-            print(f"[mapper] WARNING: dropped {int(dropped)} gaussians "
-                  f"(capacity {self.capacity})")
+            PRINTER.print(f"WARNING: dropped {int(dropped)} gaussians "
+                          f"(capacity {self.capacity})", FontColor.MAPPER)
 
     # ------------------------------------------------------------------
     # optimization driver
@@ -705,14 +734,16 @@ class Mapper:
             self.overflow_events += 1
             self.max_overflow = max(self.max_overflow, ovf)
             if self.overflow_events <= 5 or self.overflow_events % 100 == 0:
-                print(f"[mapper] WARNING: tile-binning overflow "
-                      f"({ovf} entries dropped; event #{self.overflow_events}"
-                      f"); raise mapping.render_list_capacity "
-                      f"(={self.render_list_capacity})"
-                      + (f" or mapping.bin_kw (={self.bin_kw}; gaussians "
-                         f"wider than {self.bin_kw} tiles are window-"
-                         f"truncated by bin_method=sort)"
-                         if self.bin_method == "sort" else ""))
+                PRINTER.print(
+                    f"WARNING: tile-binning overflow "
+                    f"({ovf} entries dropped; event #{self.overflow_events}"
+                    f"); raise mapping.render_list_capacity "
+                    f"(={self.render_list_capacity})"
+                    + (f" or mapping.bin_kw (={self.bin_kw}; gaussians "
+                       f"wider than {self.bin_kw} tiles are window-"
+                       f"truncated by bin_method=sort)"
+                       if self.bin_method == "sort" else ""),
+                    FontColor.MAPPER)
         self.iteration_count += K
         self.iters_after_densify += K
         return ls
@@ -738,6 +769,12 @@ class Mapper:
 
     def initialize_map_opt(self):
         pool = list(self.current_window)
+        if not pool:
+            # every keyframe invalid (non-metric-depth branch): nothing to
+            # optimize yet; the next valid keyframe re-seeds the map
+            PRINTER.print("no valid keyframes at initialization — skipping "
+                          "map optimization", FontColor.MAPPER)
+            return
         probs = np.full(len(pool), 1.0 / len(pool))
         self._run_opt(self.init_itr_num, np.array(pool), probs,
                       freeze_after=0, init_phase=True)
@@ -838,6 +875,7 @@ class Mapper:
             64, self.mc["Training"]["lr"]["cam_rot_delta"],
             self.mc["Training"]["lr"]["cam_trans_delta"],
             self.mc["Training"]["rgb_boundary_threshold"],
+            iters=int(self.mc["Training"].get("pose_refine_iters", 100)),
             bin_method=self.bin_method, bin_kw=self.bin_kw,
             bin_seg_cap=self.bin_seg_cap)
 
@@ -901,8 +939,12 @@ class Mapper:
             if self.state.metric_depth_reg:
                 depth_new = None
             else:
-                depth_new, _, _ = kstore.get_depth_and_pose(
-                    store, video_idx, False)
+                # the reference re-runs the full Splat-SLAM fill per moved
+                # keyframe (mapper.py:377-383); a now-invalid keyframe keeps
+                # its old depth and deforms rigidly (mapper.py:413-420)
+                d, m, _ = kstore.get_depth_and_pose(store, video_idx, False)
+                filled, invalid = self._filled_depth(video_idx, d, m)
+                depth_new = None if invalid else jnp.asarray(filled)
             self.vstore = viewpoints.update_pose(self.vstore, video_idx,
                                                  w2c_new)
             if self.deform_gaussians:
@@ -914,12 +956,14 @@ class Mapper:
                         self.gaussians, video_idx, w2c_new, w2c_old,
                         depth_new, self.depth_dict[video_idx],
                         self.intrinsics_full)
-                    self.vstore = self.vstore._replace(
-                        depths=self.vstore.depths.at[video_idx].set(
-                            depth_new),
-                        depth_med=self.vstore.depth_med.at[video_idx].set(
-                            jnp.median(depth_new)))
-                    self.depth_dict[video_idx] = depth_new
+            if depth_new is not None:
+                # reference updates the camera's depth regardless of the
+                # deform flag (mapper.py:399-409)
+                self.vstore = self.vstore._replace(
+                    depths=self.vstore.depths.at[video_idx].set(depth_new),
+                    depth_med=self.vstore.depth_med.at[video_idx].set(
+                        jnp.median(depth_new)))
+                self.depth_dict[video_idx] = depth_new
             self.cam_w2c_old[video_idx] = poses_host[video_idx]
 
 

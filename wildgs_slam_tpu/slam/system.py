@@ -27,6 +27,7 @@ from ..models.uncertainty import UncertaintyMLP
 from ..ops import lie
 from ..utils import eval_traj
 from ..utils.datasets import RGB_NoPose
+from ..utils.printer import PRINTER, FontColor
 from ..utils.profiling import TIMER
 from . import gaussian_map as gm
 from . import keyframe_store as kstore
@@ -89,8 +90,9 @@ class SLAM:
             if ckpt and os.path.exists(ckpt):
                 droid_params = droid_net.load_droid_checkpoint(ckpt)
             else:
-                print(f"[slam] WARNING: droid checkpoint {ckpt} not found — "
-                      "using random weights (tracking quality will suffer)")
+                PRINTER.print(f"WARNING: droid checkpoint {ckpt} not found — "
+                              "using random weights (tracking quality will "
+                              "suffer)", FontColor.ERROR)
                 droid_params = droid_net.init_droid_params(
                     jax.random.PRNGKey(0), ht, wd)
         self.droid_params = droid_params
@@ -110,8 +112,8 @@ class SLAM:
                     f"parallel.n_devices={n_dev} but only "
                     f"{jax.device_count()} devices visible")
             self.mesh = make_mesh(n_dev, axis="g")
-            print(f"[slam] mesh mode: {n_dev} devices "
-                  f"({jax.default_backend()})")
+            PRINTER.print(f"mesh mode: {n_dev} devices "
+                          f"({jax.default_backend()})", FontColor.INFO)
 
         self.mapper = Mapper(self.state, cfg,
                              rng_seed=cfg.get("setup_seed", 43),
@@ -149,6 +151,7 @@ class SLAM:
                                  backend=self.backend,
                                  uncertainty_update_fn=uncertainty_update,
                                  mesh=self.mesh)
+        self.feat_fn = feat_fn
         self.motion_filter = MotionFilter(
             self.state, droid_params,
             thresh=cfg["tracking"]["motion_filter"]["thresh"],
@@ -182,6 +185,10 @@ class SLAM:
         n_frames = len(self.stream) if max_frames < 0 else min(
             len(self.stream), max_frames)
 
+        PRINTER.configure(total_frames=len(range(0, n_frames, stride)),
+                          verbose=cfg.get("verbose", True))
+        PRINTER.pbar_ready()
+
         prev_kf_idx = 0
         prev_ba_idx = 0
         start_i = 0
@@ -194,19 +201,20 @@ class SLAM:
             start_i = loop_state.get("next_frame", 0)
             prev_kf_idx = loop_state.get("prev_kf_idx", 0)
             prev_ba_idx = loop_state.get("prev_ba_idx", 0)
-            print(f"[slam] resumed from {resume_path}: frame {start_i}, "
-                  f"{self.state.counter} keyframes")
+            PRINTER.print(f"resumed from {resume_path}: frame {start_i}, "
+                          f"{self.state.counter} keyframes", FontColor.INFO)
         t_start = time.time()
 
         for i in range(start_i, n_frames, stride):
             cmd = self.control.poll()
             if cmd["stop"]:
-                print(f"[slam] stop requested at frame {i}")
+                PRINTER.print(f"stop requested at frame {i}", FontColor.INFO)
                 break
             if cmd["pause"]:
-                print(f"[slam] paused at frame {i} (control channel)")
+                PRINTER.print(f"paused at frame {i} (control channel)",
+                              FontColor.INFO)
                 self.control.wait_if_paused()
-                print("[slam] resumed")
+                PRINTER.print("resumed", FontColor.INFO)
             if self.control.consume_checkpoint_request():
                 from ..utils import checkpoint as ckpt
 
@@ -214,8 +222,8 @@ class SLAM:
                     ckpt_path, self,
                     loop_state=dict(next_frame=i, prev_kf_idx=prev_kf_idx,
                                     prev_ba_idx=prev_ba_idx))
-                print(f"[slam] checkpoint saved (control channel) -> "
-                      f"{ckpt_path}")
+                PRINTER.print(f"checkpoint saved (control channel) -> "
+                              f"{ckpt_path}", FontColor.INFO)
 
             with TIMER.phase("data.load"):
                 timestamp, image, _, _ = self.stream[i]
@@ -247,6 +255,7 @@ class SLAM:
                         "map.keyframe", self.mapper.gaussians.params)
             new_kf = curr_kf_idx != prev_kf_idx
             prev_kf_idx = curr_kf_idx
+            PRINTER.update_pbar(1)
 
             if (ckpt_every > 0 and new_kf and self.frontend.is_initialized
                     and self.state.counter % ckpt_every == 0):
@@ -260,8 +269,9 @@ class SLAM:
                                         prev_ba_idx=prev_ba_idx))
 
         self.terminate()
-        print(f"[slam] done in {time.time() - t_start:.1f}s, "
-              f"{self.state.counter} keyframes")
+        PRINTER.terminate()
+        PRINTER.print(f"done in {time.time() - t_start:.1f}s, "
+                      f"{self.state.counter} keyframes", FontColor.TRACKER)
 
     # ------------------------------------------------------------------
 
@@ -314,8 +324,14 @@ class SLAM:
 
     def full_traj_eval(self, out_prefix):
         """Fill non-keyframe poses + evaluate (eval_traj.py:143-195)."""
-        poses_w2c = self.traj_filler(self.stream,
-                                     stride=self.cfg.get("stride", 1))
+        stride = self.cfg.get("stride", 1)
+        poses_w2c = self.traj_filler(self.stream, stride=stride)
+        if not self.cfg.get("fast_mode"):
+            # render-based refinement of every interpolated pose against the
+            # map (eval_traj.py:151-159; skipped in fast_mode — "time-
+            # consuming with minimal tracking improvement")
+            with TIMER.phase("final.nonkf_pose_refine"):
+                poses_w2c = self._refine_full_traj(poses_w2c, stride)
         est_c2w = np.asarray(lie.se3_matrix(
             lie.se3_inv(jnp.asarray(poses_w2c))))
         ts = np.arange(len(est_c2w))
@@ -329,6 +345,28 @@ class SLAM:
         eval_traj.write_metrics(out_prefix + "_metrics.txt", stats,
                                 label="full trajectory ATE")
         return stats
+
+    def _refine_full_traj(self, poses_w2c, stride):
+        """Per-frame MonoGS-style pose refinement against the final map,
+        then overwrite keyframe poses with their authoritative tracking
+        estimates (eval_traj.py:151-164)."""
+        poses = np.array(poses_w2c, copy=True)
+        frames = list(range(0, len(self.stream), stride))[: len(poses)]
+        for k, i in enumerate(frames):
+            _, image, _, _ = self.stream[i]
+            feats = (self.feat_fn(image)
+                     if self.uncertainty_aware and self.feat_fn is not None
+                     else None)
+            w2c = self.mapper.refine_pose_non_key_frame(
+                image, poses[k], features=feats)
+            poses[k] = np.asarray(w2c)
+        # keyframe poses are authoritative (eval_traj.py:161-164)
+        n = self.state.counter
+        ts = np.asarray(self.state.store.timestamp[:n]).astype(int)
+        pos = ts // stride
+        ok = (ts % stride == 0) & (pos < len(poses))
+        poses[pos[ok]] = np.asarray(self.state.store.poses[:n])[ok]
+        return poses
 
     def terminate(self):
         """Final pipeline (slam.py:147-225)."""
@@ -353,20 +391,21 @@ class SLAM:
                     self.state.store, self.state.counter, self.stream)
                 msg = (f"depth L1: {l1:.4f} m, depth L1 (<4m): {l1_4m:.4f} m,"
                        f" mask coverage: {cov:.3f}")
-                print(f"[slam] {msg}")
+                PRINTER.print(msg, FontColor.EVAL)
                 with open(os.path.join(self.save_dir, "traj",
                                        "depth_l1.txt"), "w") as f:
                     f.write(msg + "\n")
             except Exception as e:
-                print(f"[slam] depth L1 eval failed: {e}")
+                PRINTER.print(f"depth L1 eval failed: {e}", FontColor.ERROR)
 
         if has_gt:
             try:
                 stats = self.kf_traj_eval(
                     os.path.join(self.save_dir, "traj", "kf_traj"))
-                print(f"[slam] keyframe ATE-RMSE: {stats['rmse']*100:.2f} cm")
+                PRINTER.print(f"keyframe ATE-RMSE: {stats['rmse']*100:.2f} cm",
+                              FontColor.EVAL)
             except Exception as e:
-                print(f"[slam] kf eval failed: {e}")
+                PRINTER.print(f"kf eval failed: {e}", FontColor.ERROR)
 
         if cfg["tracking"]["backend"]["final_ba"]:
             iters = cfg["mapping"]["final_refine_iters"]
@@ -379,13 +418,14 @@ class SLAM:
             try:
                 stats = self.full_traj_eval(
                     os.path.join(self.save_dir, "traj", "full_traj"))
-                print(f"[slam] full ATE-RMSE: {stats['rmse']*100:.2f} cm")
+                PRINTER.print(f"full ATE-RMSE: {stats['rmse']*100:.2f} cm",
+                              FontColor.EVAL)
             except Exception as e:
-                print(f"[slam] full traj eval failed: {e}")
+                PRINTER.print(f"full traj eval failed: {e}", FontColor.ERROR)
 
         n = gm.save_ply(self.mapper.gaussians,
                         os.path.join(self.save_dir, "final_gs.ply"))
-        print(f"[slam] saved {n} gaussians")
+        PRINTER.print(f"saved {n} gaussians", FontColor.PCL)
         try:
             from ..gui.html_viewer import export_viewer_from_map
 
@@ -393,7 +433,7 @@ class SLAM:
                 os.path.join(self.save_dir, "map_viewer.html"),
                 self.mapper.gaussians)
         except Exception as e:
-            print(f"[slam] viewer export failed: {e}")
+            PRINTER.print(f"viewer export failed: {e}", FontColor.ERROR)
 
         if self.uncertainty_aware:
             import pickle
@@ -405,5 +445,5 @@ class SLAM:
         # per-phase timing table (profiling is first-class, SURVEY §5)
         TIMER.write(os.path.join(self.save_dir, "profile.txt"))
         if cfg.get("verbose", True):
-            print("[slam] phase timings:\n" + TIMER.report())
+            PRINTER.print("phase timings:\n" + TIMER.report(), FontColor.INFO)
         self.control.close()

@@ -138,6 +138,13 @@ def load_slam_checkpoint(path: str, slam) -> Dict[str, Any]:
     mapper.uncer_mu = _unflatten(arrays, mapper.uncer_mu, "uncer_mu/")
     mapper.uncer_nu = _unflatten(arrays, mapper.uncer_nu, "uncer_nu/")
     mapper.uncer_count = jnp.asarray(arrays["uncer_count"])
+    if getattr(mapper, "mesh", None) is not None:
+        # mesh mode: the map is gaussian-sharded over the device mesh;
+        # checkpoints store gathered host arrays, so re-shard on load
+        from ..parallel import mesh as pmesh
+
+        mapper.gaussians = pmesh.shard_gaussian_map(mapper.gaussians,
+                                                    mapper.mesh)
     if "mapper_key" in arrays:
         mapper.key = jnp.asarray(arrays["mapper_key"])
     state.images[:] = arrays["images"]

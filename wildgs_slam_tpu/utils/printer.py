@@ -41,6 +41,18 @@ class Printer:
         self._t0 = time.time()
         self._pbar = None
 
+    def configure(self, total_frames=None, verbose=None):
+        """Late configuration of the shared instance (the frame count is
+        only known once SLAM.run sees the stream)."""
+        if total_frames is not None:
+            self.total = total_frames
+            if self._pbar is not None:
+                self._pbar.total = total_frames
+        if verbose is not None:
+            self.verbose = verbose
+        self.count = 0
+        self._t0 = time.time()
+
     def print(self, msg, color=FontColor.INFO):
         if not self.verbose:
             return
@@ -66,5 +78,12 @@ class Printer:
     def terminate(self):
         if self._pbar is not None:
             self._pbar.close()
+            self._pbar = None
         self.print(f"finished {self.count} frames in "
                    f"{time.time() - self._t0:.1f}s", FontColor.INFO)
+
+
+# Shared instance: the reference funnels every subsystem's output through one
+# Printer process (src/slam.py:33, passed to tracker/mapper/backend/eval);
+# the single-controller equivalent is one shared object.
+PRINTER = Printer()
