@@ -82,6 +82,28 @@ def test_alt_corr_matches_volume_path():
                                atol=2e-4)
 
 
+def test_alt_corr_methods_agree():
+    """vol_onehot (MXU on-the-fly volume + one-hot window) must equal the
+    direct gather form bitwise-close — it is the same math reassociated."""
+    key = jax.random.PRNGKey(7)
+    Frames, H, W, C = 6, 8, 8, 32
+    fmaps = jax.random.normal(key, (Frames, H, W, C))
+    for ii, jj in ((jnp.array([0, 2, 3, 1, 4, 5, 0, 3]),   # E=8 (sub-chunked)
+                    jnp.array([1, 4, 0, 5, 2, 0, 3, 1])),
+                   (jnp.array([0, 2, 3]),                   # E=3 (no chunking)
+                    jnp.array([1, 4, 0]))):
+        E = len(ii)
+        coords = jnp.stack(
+            jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                         jnp.arange(H, dtype=jnp.float32), indexing="xy"),
+            axis=-1)
+        coords = jnp.tile(coords[None], (E, 1, 1, 1)) + jnp.array([0.4, -0.2])
+        pyr = corr.fmap_pyramid(fmaps, num_levels=4)
+        a = corr.alt_corr(pyr, coords, ii, jj, radius=3, method="gather")
+        b = corr.alt_corr(pyr, coords, ii, jj, radius=3, method="vol_onehot")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_corr_scaling():
     """Correlation scaled by 1/16 (corr.py:85-86)."""
     f = jnp.ones((1, 4, 4, 16))

@@ -73,6 +73,41 @@ def test_motion_filter_appends(cfg, params):
     assert float(jnp.abs(state.store.mono_disps[1]).sum()) > 0
 
 
+def test_motion_filter_fused_matches_legacy(cfg, params):
+    """The fused one-dispatch step (motion_filter._fused_step) must make the
+    SAME keyframe decisions and store writes as the legacy multi-dispatch
+    path it replaces."""
+    import wildgs_slam_tpu.slam.motion_filter as mfmod
+
+    def drive(fused):
+        state = make_state(cfg)
+        mf = MotionFilter(state, params, thresh=0.05,
+                          force_keyframe_every_n_frames=4,
+                          depth_fn=lambda im: np.full((HT, WD), 2.0,
+                                                      np.float32))
+        mf.fused = fused
+        for t in range(7):
+            mf.track(float(t), synth_image(t))
+        return state
+
+    sa = drive(True)
+    sb = drive(False)
+    assert sa.counter == sb.counter
+    n = sa.counter
+    np.testing.assert_allclose(np.asarray(sa.store.timestamp[:n]),
+                               np.asarray(sb.store.timestamp[:n]))
+    np.testing.assert_allclose(np.asarray(sa.store.fmaps[:n]),
+                               np.asarray(sb.store.fmaps[:n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sa.store.nets[:n]),
+                               np.asarray(sb.store.nets[:n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sa.store.inps[:n]),
+                               np.asarray(sb.store.inps[:n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sa.store.mono_disps[:n]),
+                               np.asarray(sb.store.mono_disps[:n]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sa.store.poses[:n]),
+                               np.asarray(sb.store.poses[:n]), atol=1e-6)
+
+
 def test_factor_graph_lifecycle(cfg, params):
     state = make_state(cfg)
     mf = MotionFilter(state, params, thresh=-1.0,

@@ -257,13 +257,63 @@ def fmap_pyramid(fmaps: jax.Array, num_levels: int = 4) -> list[jax.Array]:
 
 
 def alt_corr(pyramid: list[jax.Array], coords: jax.Array, ii: jax.Array,
-             jj: jax.Array, radius: int = 3) -> jax.Array:
-    """Correlation features without materialized volumes.
+             jj: jax.Array, radius: int = 3,
+             method: str = "vol_onehot") -> jax.Array:
+    """Correlation features without stored volumes (AltCorrBlock semantics).
 
-    For each edge e and pixel p: dot(fmap1_lvl0[ii[e], p],
-    bilin(fmap_lvl[jj[e]], coords[e, p]/2^lvl + offset)) over the
-    (2r+1)^2 window. coords (E, H, W, 2). Returns (E, H, W, L*(2r+1)^2).
+    method="vol_onehot" (default): build each edge's correlation volume ON
+    THE FLY as one MXU contraction (f1 · f2ᵀ over C=128) and sample the
+    (2r+1)² window with the proven one-hot select-reduce — the identical
+    math to the gather form because dot(f1, bilin(f2)) == bilin(dot(f1, f2))
+    (bilinear weights are linear). The volume is transient: a lax.map over
+    8-edge sub-chunks bounds it to (8, HW, h2, w2) ≈ 300 MB at 48x64, and
+    XLA reuses the buffer across map steps. This trades ~24x more MXU FLOPs
+    for ZERO multi-million-row gathers — the lane-dim take_along_axis of the
+    gather form is the same TPU slow path that lost 3-13x in the binning and
+    corr-lookup A/Bs (v5e A/B: see scripts/microbench_altcorr.py).
+
+    method="gather": the direct form (reference altcorr_kernel.cu:39-300
+    semantics), kept as the memory-floor fallback and CPU/test oracle.
     """
+    if method == "vol_onehot":
+        return _alt_corr_vol(pyramid, coords, ii, jj, radius)
+    return _alt_corr_gather(pyramid, coords, ii, jj, radius)
+
+
+def _alt_corr_vol(pyramid, coords, ii, jj, radius):
+    E, H, W, _ = coords.shape
+    f1 = pyramid[0][ii].reshape(E, H * W, -1)      # (E, P, C), scaled 1/4
+    sub = 8 if E % 8 == 0 else (4 if E % 4 == 0 else (2 if E % 2 == 0 else 1))
+
+    outs = []
+    for lvl, fm in enumerate(pyramid):
+        _, h2, w2, C = fm.shape
+        f2 = fm[jj].reshape(E, h2 * w2, C)
+        c = coords.reshape(E, H * W, 2) / (2 ** lvl)
+
+        def level_chunk(args, h2=h2, w2=w2):
+            f1c, f2c, cc = args
+            vol = jnp.einsum("epc,eqc->epq", f1c, f2c,
+                             preferred_element_type=jnp.float32)
+            vol = vol.reshape(vol.shape[0], H * W, h2, w2)
+            return _bilinear_window_onehot(vol, cc, radius)
+
+        out = jax.lax.map(level_chunk,
+                          (f1.reshape(E // sub, sub, H * W, -1),
+                           f2.reshape(E // sub, sub, h2 * w2, C),
+                           c.reshape(E // sub, sub, H * W, 2)))
+        outs.append(out.reshape(E, H * W, -1))
+
+    return jnp.concatenate(outs, axis=-1).reshape(E, H, W, -1)
+
+
+def _alt_corr_gather(pyramid: list[jax.Array], coords: jax.Array,
+                     ii: jax.Array, jj: jax.Array,
+                     radius: int = 3) -> jax.Array:
+    """Direct patch-dot form: for each edge e and pixel p,
+    dot(fmap1_lvl0[ii[e], p], bilin(fmap_lvl[jj[e]], coords[e, p]/2^lvl +
+    offset)) over the (2r+1)^2 window. coords (E, H, W, 2).
+    Returns (E, H, W, L*(2r+1)^2)."""
     E, H, W, _ = coords.shape
     rd = 2 * radius + 1
     f1 = pyramid[0][ii]  # (E, H, W, C)

@@ -506,7 +506,7 @@ class FactorGraph:
             return None
         if self.gt_injection is not None:
             return self._update_n_oracle(n, t0, t1, itrs, use_inactive,
-                                         motion_only)
+                                         motion_only, eps=eps)
         if self.mesh is not None:
             return self._update_n_sharded(n, t0, t1, itrs, use_inactive,
                                           motion_only)
@@ -595,10 +595,14 @@ class FactorGraph:
             jnp.asarray(ii), jnp.asarray(jj))
         return tgt, jnp.full(tgt.shape, 0.9)
 
-    def _update_n_oracle(self, n, t0, t1, itrs, use_inactive, motion_only):
+    def _update_n_oracle(self, n, t0, t1, itrs, use_inactive, motion_only,
+                         eps=0.0):
         """update_n with the GRU swapped for GT-reprojection targets; every
         other stage (inactive-edge reuse, damping, the REAL kstore.ba solve)
-        is the production path."""
+        is the production path. eps > 0 early-exits once the mean remaining
+        flow residual |target - reproject| over active edges drops below eps
+        px — the oracle analogue of _update_core's GRU-delta convergence
+        gate (scripts/ab_update_eps.py qualifies the knob here)."""
         store = self.state.store
         F = store.poses.shape[0]
         b = _bucket(max(self.E, 1))
@@ -634,13 +638,23 @@ class FactorGraph:
         iiv = jnp.asarray(np.concatenate([iip, iii]))
         jjv = jnp.asarray(np.concatenate([jjp, ijj]))
         vv = jnp.asarray(np.concatenate([valid, ivalid]))
+        n_done = 0
         for _ in range(n):
+            if eps > 0:
+                coords1, _ = kstore.reproject(
+                    self.state.store, jnp.asarray(iip), jnp.asarray(jjp))
+                res = jnp.linalg.norm(tgt - coords1, axis=-1)
+                dm = float((res * valid[:, None, None]).sum()
+                           / (valid.sum() * res.shape[1] * res.shape[2]))
+                if n_done > 0 and dm < eps:
+                    break
             self.state.store = kstore.ba(
                 self.state.store, tgt_all, wgt_all, eta, iiv, jjv, vv,
                 groups, t0, t1, iters=itrs, motion_only=motion_only,
                 metric_depth_reg=self.state.metric_depth_reg,
                 uncertainty_aware=self.state.uncertainty_aware,
                 pmax=self.pmax)
+            n_done += 1
         # keep disps_up in sync (mapper/eval consumers): plain bilinear
         # upsample of the window frames (the oracle has no learned upmask)
         fb = max(0, t1 - self.pmax)
@@ -651,7 +665,7 @@ class FactorGraph:
         self.state.store = self.state.store._replace(
             disps_up=self.state.store.disps_up.at[frames].set(up))
         self.age += n
-        return jnp.int32(n), jnp.float32(0.0)
+        return jnp.int32(n_done), jnp.float32(0.0)
 
     def _update_n_sharded(self, n, t0, t1, itrs, use_inactive, motion_only):
         """Mesh-mode update_n: n edge-sharded track steps over the device

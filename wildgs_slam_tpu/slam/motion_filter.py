@@ -64,6 +64,62 @@ def _flow_magnitude(params, fmap_last, gmap, net, inp):
     return jnp.linalg.norm(delta, axis=-1).mean()
 
 
+@partial(jax.jit, donate_argnums=(1,))
+def _fused_step(params, store, fmap_last, net_last, inp_last, img_norm,
+                tstamp, index, have_prev, force, thresh):
+    """ONE device program for the whole per-frame motion-filter decision
+    (fnet -> corr -> GRU flow -> keyframe decision -> masked store commit,
+    with cnet only on the keyframe branch). The reference runs this as 4+
+    separate GPU launches + host sync (motion_filter.py:52-114); on the
+    tunneled TPU every extra blocking round-trip costs ~25 ms, so the step
+    is fused and the host pulls ONE scalar (is_kf) per frame.
+
+    Returns (store', gmap, net, inp, is_kf, flow). net/inp are the last
+    keyframe's context features (unchanged when not a keyframe); the store
+    is donated and committed only under the keyframe mask."""
+    dt = droid_net.net_dtype()
+    gmap = droid_net.BasicEncoder(128, "instance", dtype=dt).apply(
+        {"params": params["fnet"]}, img_norm[None])[0]
+
+    h, w, _ = gmap.shape
+    pyr = correlation.corr_pyramid(fmap_last[None], gmap[None])
+    coords0 = projective.coords_grid(h, w)[None]
+    corr = correlation.corr_lookup(pyr, coords0)
+    flow0 = jnp.zeros((1, h, w, 4))
+    _, delta, _, _, _ = droid_net.UpdateModule(dtype=dt).apply(
+        {"params": params["update"]}, net_last[None], inp_last[None], corr,
+        flow0, jnp.zeros((1,), jnp.int32), 1)
+    flow = jnp.linalg.norm(delta.astype(jnp.float32), axis=-1).mean()
+    is_kf = jnp.where(have_prev, (flow > thresh) | force, True)
+
+    def kf_branch(store):
+        ctx = droid_net.BasicEncoder(256, "none", dtype=dt).apply(
+            {"params": params["cnet"]}, img_norm[None])[0]
+        net, inp = droid_net.context_split(ctx)
+        # context_split is f32 (tanh/relu outside the bf16 module); keep the
+        # cond carry dtype equal to the bf16 last-keyframe features — the
+        # GRU casts its inputs to the module dtype anyway
+        net = net.astype(net_last.dtype)
+        inp = inp.astype(inp_last.dtype)
+        first = ~have_prev
+        store = store._replace(
+            timestamp=store.timestamp.at[index].set(tstamp),
+            poses=jnp.where(first, store.poses.at[index].set(
+                jnp.array([0, 0, 0, 0, 0, 0, 1.0])), store.poses),
+            disps=jnp.where(first, store.disps.at[index].set(1.0),
+                            store.disps),
+            fmaps=store.fmaps.at[index].set(gmap),
+            nets=store.nets.at[index].set(net),
+            inps=store.inps.at[index].set(inp))
+        return store, net, inp
+
+    def skip_branch(store):
+        return store, net_last, inp_last
+
+    store, net, inp = jax.lax.cond(is_kf, kf_branch, skip_branch, store)
+    return store, gmap, net, inp, is_kf, flow
+
+
 class MotionFilter:
     def __init__(self, state, params, thresh=2.5,
                  force_keyframe_every_n_frames=-1, depth_fn=None,
@@ -74,6 +130,9 @@ class MotionFilter:
         self.force_every = force_keyframe_every_n_frames
         self.depth_fn = depth_fn    # image -> (H, W) metric depth or None
         self.feat_fn = feat_fn      # image -> (h14, w14, 384) or None
+        import os as _os
+
+        self.fused = _os.environ.get("WILDGS_MF_FUSED", "1") != "0"
         self.count = 0
         # last-keyframe features
         self.fmap = None
@@ -81,7 +140,55 @@ class MotionFilter:
         self.inp = None
 
     def track(self, tstamp, image) -> bool:
-        """image (H, W, 3) float in [0,1]. Returns force_to_add flag."""
+        """image (H, W, 3) float in [0,1]. Returns force_to_add flag.
+
+        Fused path (default): ONE device dispatch + ONE scalar pull per
+        frame (_fused_step). WILDGS_MF_FUSED=0 selects the legacy
+        multi-dispatch path (A/B: scripts/microbench_motion_filter.py)."""
+        if not self.fused:
+            return self._track_legacy(tstamp, image)
+        state = self.state
+        force = False
+        have_prev = state.counter > 0
+        if self.force_every > 0 and have_prev:
+            last_t = state.timestamps[state.counter - 1]
+            force = (tstamp - last_t) >= self.force_every
+
+        idx = state.counter
+        if self.fmap is None:
+            h, w = state.store.fmaps.shape[1:3]
+            dt = droid_net.net_dtype()
+            self.fmap = jnp.zeros((h, w, 128), dt)
+            self.net = jnp.zeros((h, w, 128), dt)
+            self.inp = jnp.zeros((h, w, 128), dt)
+
+        with TIMER.phase("track.mf.fused"):
+            img_norm = normalize_image(jnp.asarray(image))
+            (state.store, gmap, net, inp, is_kf, _flow) = _fused_step(
+                self.params, state.store, self.fmap, self.net, self.inp,
+                img_norm, jnp.float32(tstamp), jnp.int32(idx),
+                jnp.bool_(have_prev), jnp.bool_(bool(force)),
+                jnp.float32(self.thresh))
+            kf = bool(is_kf)
+
+        if kf:
+            self.count = 0
+            self.fmap, self.net, self.inp = gmap, net, inp
+            with TIMER.phase("track.mf.priors"):
+                depth = (self.depth_fn(image)
+                         if self.depth_fn is not None else None)
+                dino = self.feat_fn(image) if self.feat_fn is not None else None
+            if depth is not None:
+                with TIMER.phase("track.mf.append"):
+                    state.store = kstore.append(
+                        state.store, idx, tstamp,
+                        mono_depth_up=jnp.asarray(depth))
+            state.append_host(idx, image, dino, tstamp)
+        else:
+            self.count += 1
+        return force
+
+    def _track_legacy(self, tstamp, image) -> bool:
         state = self.state
         with TIMER.phase("track.mf.encode_fmap"):
             img_norm = normalize_image(jnp.asarray(image))
