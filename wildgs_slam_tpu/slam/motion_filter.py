@@ -65,18 +65,29 @@ def _flow_magnitude(params, fmap_last, gmap, net, inp):
 
 
 @partial(jax.jit, donate_argnums=(1,))
-def _fused_step(params, store, fmap_last, net_last, inp_last, img_norm,
-                tstamp, index, have_prev, force, thresh):
+def _fused_step(params, store, fmap_last, net_last, inp_last, image, meta):
     """ONE device program for the whole per-frame motion-filter decision
-    (fnet -> corr -> GRU flow -> keyframe decision -> masked store commit,
-    with cnet only on the keyframe branch). The reference runs this as 4+
-    separate GPU launches + host sync (motion_filter.py:52-114); on the
-    tunneled TPU every extra blocking round-trip costs ~25 ms, so the step
-    is fused and the host pulls ONE scalar (is_kf) per frame.
+    (ImageNet normalize -> fnet -> corr -> GRU flow -> keyframe decision ->
+    masked store commit, with cnet only on the keyframe branch). The
+    reference runs this as 4+ separate GPU launches + host sync
+    (motion_filter.py:52-114); on the tunneled TPU the overheads are
+    brutal — measured per frame at 384x512 (scripts in /tmp, r5): eager
+    normalize ops on the fresh image ~136 ms, four separate scalar uploads
+    ~34 ms, one fresh-value pull ~25 ms, the actual fnet+cnet+GRU compute
+    ~4 ms. So: the image goes up RAW in one transfer, every scalar rides
+    one packed meta array, all math lives in this single program, and the
+    host pulls ONE scalar (is_kf).
 
+    meta: float32[5] = (tstamp, index, have_prev, force, thresh).
     Returns (store', gmap, net, inp, is_kf, flow). net/inp are the last
     keyframe's context features (unchanged when not a keyframe); the store
     is donated and committed only under the keyframe mask."""
+    tstamp = meta[0]
+    index = meta[1].astype(jnp.int32)
+    have_prev = meta[2] > 0
+    force = meta[3] > 0
+    thresh = meta[4]
+    img_norm = normalize_image(image)
     dt = droid_net.net_dtype()
     gmap = droid_net.BasicEncoder(128, "instance", dtype=dt).apply(
         {"params": params["fnet"]}, img_norm[None])[0]
@@ -163,12 +174,15 @@ class MotionFilter:
             self.inp = jnp.zeros((h, w, 128), dt)
 
         with TIMER.phase("track.mf.fused"):
-            img_norm = normalize_image(jnp.asarray(image))
+            # two H2D transfers (raw image + packed meta), one dispatch,
+            # one scalar pull — nothing eager (see _fused_step docstring)
+            img = jnp.asarray(np.ascontiguousarray(image, np.float32))
+            meta = jnp.asarray(np.array(
+                [tstamp, idx, float(have_prev), float(bool(force)),
+                 self.thresh], np.float32))
             (state.store, gmap, net, inp, is_kf, _flow) = _fused_step(
                 self.params, state.store, self.fmap, self.net, self.inp,
-                img_norm, jnp.float32(tstamp), jnp.int32(idx),
-                jnp.bool_(have_prev), jnp.bool_(bool(force)),
-                jnp.float32(self.thresh))
+                img, meta)
             kf = bool(is_kf)
 
         if kf:
