@@ -188,7 +188,10 @@ def test_depth_filter_count():
         prob["poses_gt"], prob["disps_gt"], INTR, jnp.arange(F),
         jnp.full((F,), 0.1))
     assert count.shape == (F, H, W)
-    assert float((count >= 1).mean()) > 0.4  # tiny image: many px leave view
+    # 6-neighbor scheme (droid_kernels.cu:705): support only from
+    # {i-3..i-1, i+3..i+5}, and the tiny image loses many px out of view
+    assert float((count >= 1).mean()) > 0.25
+    assert int(count.max()) <= 6
     # garbage disps on frame 0 -> low counts there
     bad = prob["disps_gt"].at[0].set(5.0)
     count_bad = dba.depth_filter_count(

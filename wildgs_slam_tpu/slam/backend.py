@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..utils.profiling import TIMER
 from . import keyframe_store as kstore
 from .factor_graph import FactorGraph
 
@@ -43,9 +44,10 @@ class Backend:
             self.uncertainty_update_fn()
         if t_start_loop is None or not loop:
             t_start_loop = t_start
-        edge_num = graph.add_backend_proximity_factors(
-            t_start, t_end, nms, radius, thresh, max_factors, self.beta,
-            t_start_loop, loop)
+        with TIMER.phase("track.lowmem.proposal"):
+            edge_num = graph.add_backend_proximity_factors(
+                t_start, t_end, nms, radius, thresh, max_factors, self.beta,
+                t_start_loop, loop)
         if edge_num == 0:
             graph.clear_edges()
             return 0
@@ -61,16 +63,18 @@ class Backend:
         max_factors = (self.backend_radius + 2) * 2 * n
         if self.backend_normalize:
             self.state.store = kstore.normalize(self.state.store, t_end)
-        graph = FactorGraph(self.state, self.params, corr_impl="alt",
-                            max_factors=max_factors,
-                            pmax=self.state.store.poses.shape[0])
+        with TIMER.phase("track.lowmem.graph_build"):
+            graph = FactorGraph(self.state, self.params, corr_impl="alt",
+                                max_factors=max_factors,
+                                pmax=self.state.store.poses.shape[0])
         graph.gt_injection = self.gt_injection
         n_edges = self.backend_ba(t_start, t_end, steps, graph,
                                   self.backend_nms, self.backend_radius,
                                   self.backend_thresh, max_factors)
-        self.state.store = kstore.update_valid_depth_mask(
-            self.state.store, self.state.counter, self.multiview_thresh,
-            self.multiview_visible_num)
+        with TIMER.phase("track.lowmem.depth_mask"):
+            self.state.store = kstore.update_valid_depth_mask(
+                self.state.store, self.state.counter, self.multiview_thresh,
+                self.multiview_visible_num)
         return n, n_edges
 
     def loop_ba(self, t_start, t_end, steps=6, motion_only=False,

@@ -194,30 +194,79 @@ def _update_core(params, poses, disps, disps_up, intrinsics, uncert_inv,
                      n_done, dmean)
 
 
-@partial(jax.jit, static_argnames=("pmax",))
-def _lowmem_gru_core(params, poses, disps, intrinsics, p0, p1, p2, p3,
-                     net, inp, target, ii, jj, edge_valid, frame_base,
-                     pmax: int):
-    """GRU step for one chunk of edges using on-the-fly alt_corr."""
-    h, w = disps.shape[-2:]
+@partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5),
+         static_argnames=("fcap", "pmax_c", "iters", "pmax", "motion_only",
+                          "metric_depth_reg", "uncertainty_aware"))
+def _lowmem_step_core(params, store, net_st, target_st, weight_st, damping,
+                      sel_mat, ii_mat, jj_mat, valid_mat, fb_vec,
+                      ii_all, jj_all, valid_all, groups, t0, t1,
+                      fcap: int, pmax_c: int, iters: int, pmax: int,
+                      motion_only: bool, metric_depth_reg: bool,
+                      uncertainty_aware: bool):
+    """ONE device program for a whole update_lowmem step: fmap pyramid ->
+    lax.scan over edge chunks (alt_corr + GRU, scatter back into the edge
+    storage) -> damping -> ONE full-window DBA. The first implementation
+    ran each of these as eager host-driven ops; at 384x512/F=25 the eager
+    slices/gathers/concats/eta math cost ~20x the device compute through
+    the tunnel (PERF.md r5 global-BA entry).
+
+    sel_mat (C, cap_c): edge-storage rows per chunk (pad rows = a huge
+    index -> clipped reads masked by valid_mat, dropped writes).
+    fb_vec (C,): per-chunk frame base for the GraphAgg window."""
+    from . import keyframe_store as _ks
+
+    st_rows = net_st.shape[0]
+    fpyr = correlation.fmap_pyramid(store.fmaps[:fcap])
+    h, w = store.disps.shape[-2:]
     coords0 = projective.coords_grid(h, w)
-    coords1, _ = projective.projective_transform(poses, disps, intrinsics,
-                                                 ii, jj)
-    motn = jnp.clip(jnp.concatenate(
-        [coords1 - coords0, target - coords1], axis=-1), -64.0, 64.0)
-    corr = correlation.alt_corr([p0, p1, p2, p3], coords1, ii, jj)
-    ii_rel = jnp.where(edge_valid, jnp.clip(ii - frame_base, 0, pmax - 1),
-                       pmax)
-    net2, delta, weight2, eta_new, _ = droid_net.UpdateModule(dtype=droid_net.net_dtype()).apply(
-        {"params": params["update"]}, net, inp, corr.astype(net.dtype),
-        motn.astype(net.dtype), ii_rel, pmax)
-    net2 = jnp.where(edge_valid[:, None, None, None], net2, net)
-    target2 = jnp.where(edge_valid[:, None, None, None],
-                        coords1 + delta.astype(jnp.float32), target)
-    weight2 = weight2.astype(jnp.float32) * edge_valid[:, None, None, None]
-    has_edge = jnp.zeros((pmax,), bool).at[
-        jnp.where(edge_valid, ii_rel, pmax)].set(True, mode="drop")
-    return net2, target2, weight2, eta_new, has_edge
+
+    def chunk_body(carry, xs):
+        net_st, target_st, weight_st, damping = carry
+        sel, iic, jjc, vc, fb = xs
+        selr = jnp.clip(sel, 0, st_rows - 1)
+        net = net_st[selr]
+        tgt = target_st[selr]
+        inp = store.inps[iic]
+        coords1, _ = projective.projective_transform(
+            store.poses, store.disps, store.intrinsics, iic, jjc)
+        motn = jnp.clip(jnp.concatenate(
+            [coords1 - coords0, tgt - coords1], axis=-1), -64.0, 64.0)
+        corr = correlation.alt_corr(fpyr, coords1, iic, jjc)
+        ii_rel = jnp.where(vc, jnp.clip(iic - fb, 0, pmax_c - 1), pmax_c)
+        net2, delta, weight2, eta_new, _ = droid_net.UpdateModule(
+            dtype=droid_net.net_dtype()).apply(
+            {"params": params["update"]}, net, inp, corr.astype(net.dtype),
+            motn.astype(net.dtype), ii_rel, pmax_c)
+        net2 = jnp.where(vc[:, None, None, None], net2, net)
+        tgt2 = jnp.where(vc[:, None, None, None],
+                         coords1 + delta.astype(jnp.float32), tgt)
+        wgt2 = weight2.astype(jnp.float32) * vc[:, None, None, None]
+        has_edge = jnp.zeros((pmax_c,), bool).at[
+            jnp.where(vc, ii_rel, pmax_c)].set(True, mode="drop")
+
+        wr = jnp.where(vc, sel, st_rows)
+        net_st = net_st.at[wr].set(net2, mode="drop")
+        target_st = target_st.at[wr].set(tgt2, mode="drop")
+        weight_st = weight_st.at[wr].set(wgt2, mode="drop")
+        F = damping.shape[0]
+        fb_frames = jnp.clip(fb + jnp.arange(pmax_c), 0, F - 1)
+        damping = damping.at[fb_frames].set(
+            jnp.where(has_edge[:, None, None], eta_new,
+                      damping[fb_frames]))
+        return (net_st, target_st, weight_st, damping), None
+
+    (net_st, target_st, weight_st, damping), _ = jax.lax.scan(
+        chunk_body, (net_st, target_st, weight_st, damping),
+        (sel_mat, ii_mat, jj_mat, valid_mat, fb_vec))
+
+    cap_all = ii_all.shape[0]
+    eta = 0.2 * damping + EP_DAMP
+    store = _ks.ba(store, target_st[:cap_all], weight_st[:cap_all], eta,
+                   ii_all, jj_all, valid_all, groups, t0, t1, iters=iters,
+                   lm=1e-5, ep=1e-2, motion_only=motion_only,
+                   metric_depth_reg=metric_depth_reg,
+                   uncertainty_aware=uncertainty_aware, pmax=pmax)
+    return store, net_st, target_st, weight_st, damping
 
 
 def _next_cap(n: int) -> int:
@@ -811,62 +860,54 @@ class FactorGraph:
                     pmax=pmax)
             return
 
-        fpyr = correlation.fmap_pyramid(store.fmaps)
+        # chunk descriptors (fixed across steps: edge topology is constant
+        # inside update_lowmem) — everything padded so ONE jitted step
+        # program serves the whole loop
+        jmax = int(self.jj.max())
+        chunk_rows = []
+        for i0 in range(0, jmax + 1, chunk_frames):
+            sel = np.where((self.ii >= i0) & (self.ii < i0 + chunk_frames))[0]
+            if len(sel):
+                chunk_rows.append(sel)
+        if not chunk_rows:
+            return
+        pmax_c = min(chunk_frames * 2, pmax)
+        cap_c = _bucket(max(len(s) for s in chunk_rows))
+        C = len(chunk_rows)
+        big = self.net.shape[0] + 1  # pad row index: clipped reads, dropped
+        sel_mat = np.full((C, cap_c), big, np.int32)
+        ii_mat = np.zeros((C, cap_c), np.int32)
+        jj_mat = np.zeros((C, cap_c), np.int32)
+        valid_mat = np.zeros((C, cap_c), bool)
+        fb_vec = np.zeros((C,), np.int32)
+        for c, sel in enumerate(chunk_rows):
+            sel_mat[c, : len(sel)] = sel
+            ii_mat[c, : len(sel)] = self.ii[sel]
+            jj_mat[c, : len(sel)] = self.jj[sel]
+            valid_mat[c, : len(sel)] = True
+            fb_vec[c] = max(0, int(self.ii[sel].min()))
+
+        cap_all = _bucket(self.ii.shape[0])
+        iip, jjp, valid = self._padded_edges(self.ii, self.jj, cap_all)
+        ii_groups = iip * valid + (1 - valid) * -1
+        groups = jnp.asarray(dba.make_edge_groups(
+            ii_groups, F, self.group_degree))
+        fcap = min(_bucket(t1), F)
+        args_np = (jnp.asarray(sel_mat), jnp.asarray(ii_mat),
+                   jnp.asarray(jj_mat), jnp.asarray(valid_mat),
+                   jnp.asarray(fb_vec), jnp.asarray(iip), jnp.asarray(jjp),
+                   jnp.asarray(valid), groups)
 
         for _ in range(steps):
-            store = self.state.store
-            jmax = int(self.jj.max())
-            for i0 in range(0, jmax + 1, chunk_frames):
-                v = (self.ii >= i0) & (self.ii < i0 + chunk_frames)
-                if v.sum() < 1:
-                    continue
-                sel = np.where(v)[0]
-                cap = _bucket(len(sel))
-                sel_p = jnp.asarray(np.concatenate(
-                    [sel, np.zeros(cap - len(sel), np.int64)]))
-                net = self.net[sel_p]
-                tgt = self.target[sel_p]
-                iip, jjp, valid = self._padded_edges(self.ii[sel],
-                                                     self.jj[sel], cap)
-                inp = store.inps[jnp.asarray(
-                    np.concatenate([self.ii[sel],
-                                    np.zeros(cap - len(sel), np.int64)]))]
-                fb = max(0, int(self.ii[sel].min()))
-                with TIMER.phase("track.lowmem.gru"):
-                    net2, tgt2, wgt2, eta_new, has_edge = _lowmem_gru_core(
-                        self.params, store.poses, store.disps,
-                        store.intrinsics,
-                        fpyr[0], fpyr[1], fpyr[2], fpyr[3],
-                        net, inp, tgt, jnp.asarray(iip), jnp.asarray(jjp),
-                        jnp.asarray(valid), fb,
-                        pmax=min(chunk_frames * 2, pmax))
-                # scatter back; pad rows route to self.cap (dropped)
-                wr = jnp.asarray(np.concatenate(
-                    [sel, np.full(cap - len(sel), self.cap, np.int64)]))
-                self.net = self.net.at[wr].set(net2, mode="drop")
-                self.target = self.target.at[wr].set(tgt2, mode="drop")
-                self.weight = self.weight.at[wr].set(wgt2, mode="drop")
-                fb_frames = fb + np.arange(min(chunk_frames * 2, pmax))
-                fb_frames = np.clip(fb_frames, 0, F - 1)
-                self.damping = self.damping.at[jnp.asarray(fb_frames)].set(
-                    jnp.where(has_edge[:, None, None], eta_new,
-                              self.damping[jnp.asarray(fb_frames)]))
-
-            # full-window BA
-            cap = _bucket(self.ii.shape[0])
-            tgt, wgt = self.target[:cap], self.weight[:cap]
-            iip, jjp, valid = self._padded_edges(self.ii, self.jj, cap)
-            ii_groups = iip * valid + (1 - valid) * -1
-            groups = jnp.asarray(dba.make_edge_groups(
-                ii_groups, F, self.group_degree))
-            eta = 0.2 * self.damping + EP_DAMP
-            with TIMER.phase("track.lowmem.ba"):
-                self.state.store = kstore.ba(
-                    self.state.store, tgt, wgt, eta, jnp.asarray(iip),
-                    jnp.asarray(jjp), jnp.asarray(valid), groups, t0, t1,
-                    iters=itrs, lm=1e-5, ep=1e-2,
+            with TIMER.phase("track.lowmem.step"):
+                (self.state.store, self.net, self.target, self.weight,
+                 self.damping) = _lowmem_step_core(
+                    self.params, self.state.store, self.net, self.target,
+                    self.weight, self.damping, *args_np, t0, t1,
+                    fcap=fcap, pmax_c=pmax_c, iters=itrs, pmax=pmax,
+                    motion_only=False,
                     metric_depth_reg=self.state.metric_depth_reg,
-                    uncertainty_aware=self.state.uncertainty_aware, pmax=pmax)
+                    uncertainty_aware=self.state.uncertainty_aware)
 
     def clear_edges(self):
         """Drop all live edges (storage stays allocated — rows become

@@ -88,11 +88,14 @@ class Frontend:
         self.state.store = kstore.filter_high_err_mono_depth(
             self.state.store, idx, refs, feats_idx, feats_refs)
 
-    def _update_depth_masks(self):
+    def _update_depth_masks(self, frames=None):
+        """`frames`: the dirty window (reference set_dirty(graph.ii.min(),
+        t1) + dirty-gated update_valid_depth_mask, frontend.py:96,167,174 —
+        only BA-touched frames are re-filtered)."""
         with TIMER.phase("track.fe.depth_masks"):
             self.state.store = kstore.update_valid_depth_mask(
                 self.state.store, self.state.counter, self.multiview_thresh,
-                self.multiview_visible_num)
+                self.multiview_visible_num, frames=frames)
 
     def __update(self, force_to_add_keyframe):
         """frontend.py:51-97."""
@@ -206,4 +209,5 @@ class Frontend:
                 with TIMER.phase("track.fe.uncer_update"):
                     self.uncertainty_update_fn()
             self.__update(force_to_add_keyframe)
-            self._update_depth_masks()
+            lo = int(self.graph.ii.min()) if len(self.graph.ii) else 0
+            self._update_depth_masks(frames=np.arange(lo, self.t1))

@@ -191,31 +191,45 @@ def upsample(store: KeyframeStore, ix, upmask) -> KeyframeStore:
 
 def update_valid_depth_mask(store: KeyframeStore, n_frames: int,
                             multiview_thresh: float, visible_num: int,
-                            up=True) -> KeyframeStore:
+                            up=True, frames=None) -> KeyframeStore:
     """Two-view consistency depth filter (depth_video.py:407-442).
 
     Runs EVERY frame, so the frame count is bucketed (8-frame steps) and the
     heavy body is one jitted program per bucket: the round-2 profile showed
     the original eager body recompiling ~50 tiny remote XLA programs per
     frame (idx = arange(n_frames) gave every op a new shape each keyframe),
-    which dominated the whole tracking loop over the tunnel."""
+    which dominated the whole tracking loop over the tunnel.
+
+    `frames`: optional explicit host list of frame indices to refresh —
+    the reference's DIRTY gating (depth_video.py:417-423: only frames
+    touched by BA since the last refresh are recomputed; the frontend
+    marks its active window via set_dirty, frontend.py:96). None = all
+    live frames (the backend's post-global-BA full refresh)."""
     F = store.poses.shape[0]
-    nb = min(F, -(-max(n_frames, 1) // 8) * 8)
+    if frames is None:
+        frames = np.arange(min(F, max(n_frames, 1)))
+    else:
+        frames = np.asarray(frames, np.int64)
+        if len(frames) == 0:
+            return store
+    nb = min(F, -(-len(frames) // 8) * 8)
+    idx = np.concatenate([frames[:nb], np.full(nb - min(len(frames), nb), F,
+                                               np.int64)])
     return _update_valid_depth_mask_core(
-        store, jnp.int32(n_frames), multiview_thresh,
+        store, jnp.asarray(idx), jnp.int32(n_frames), multiview_thresh,
         nb=nb, visible_num=visible_num, up=up)
 
 
 @partial(jax.jit, static_argnames=("nb", "visible_num", "up"))
-def _update_valid_depth_mask_core(store: KeyframeStore, n_frames,
+def _update_valid_depth_mask_core(store: KeyframeStore, idx, n_frames,
                                   multiview_thresh, nb: int,
                                   visible_num: int, up: bool):
     F = store.poses.shape[0]
     disps = store.disps_up if up else store.disps
     scale = 8.0 if up else 1.0
     intr = store.intrinsics * scale
-    idx = jnp.arange(nb)
-    row_valid = idx < n_frames
+    row_valid = (idx < n_frames) & (idx < F)
+    idx = jnp.clip(idx, 0, F - 1)
     depths = 1.0 / jnp.clip(disps[idx], 1e-8)
     thresh = multiview_thresh * depths.mean(axis=(1, 2))
     count = dba.depth_filter_count(store.poses, disps, intr, idx, thresh)
