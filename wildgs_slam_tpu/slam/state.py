@@ -27,6 +27,9 @@ class SlamState:
     metric_depth_reg: bool = True
     uncertainty_aware: bool = True
     cfg: dict = field(default_factory=dict)
+    # bumped whenever host-side per-frame arrays shift (keyframe removal) so
+    # device-side mirrors (system.py dino cache) know to refresh
+    host_gen: int = 0
 
     @classmethod
     def create(cls, cfg, ht, wd, intrinsics_full, buffer=350,
@@ -49,6 +52,7 @@ class SlamState:
         self.counter = max(self.counter, index + 1)
 
     def remove_keyframe_host(self, ix):
+        self.host_gen += 1
         self.images[ix:-1] = self.images[ix + 1:]
         if self.dino_feats is not None:
             self.dino_feats[ix:-1] = self.dino_feats[ix + 1:]

@@ -129,6 +129,12 @@ class SLAM:
                 store, lambda f: mlp.apply(uncer_params, f), feats, idx,
                 train_frac)
 
+        # incremental device mirror of the (append-mostly) DINO features:
+        # re-uploading dino_feats[:nb] before EVERY BA cost ~48 MB of H2D
+        # per frame over the tunnel; now only NEW keyframes upload (and a
+        # full refresh after keyframe removals, tracked via state.host_gen)
+        self._dino_cache = {"gen": -1, "n": 0, "dev": None}
+
         def uncertainty_update():
             """Refresh BA uncertainty weights. Runs before every BA, so the
             frame count is bucketed (8-frame steps; pad rows write-dropped)
@@ -139,10 +145,22 @@ class SLAM:
             n = self.state.counter
             B = self.state.dino_feats.shape[0]
             nb = min(B, -(-n // 8) * 8)
+            c = self._dino_cache
+            if c["dev"] is None:
+                c["dev"] = jnp.zeros(self.state.dino_feats.shape, jnp.float32)
+            lo = 0 if c["gen"] != self.state.host_gen else min(c["n"], n)
+            # per-row 1-frame updates: the common case uploads exactly the
+            # new keyframe (one ~0.7 MB transfer + one cached tiny program);
+            # the full refresh after a keyframe removal replays n rows
+            for r in range(lo, n):
+                c["dev"] = c["dev"].at[r].set(
+                    jnp.asarray(self.state.dino_feats[r]))
+            c["gen"], c["n"] = self.state.host_gen, n
             idx = np.where(np.arange(nb) < n, np.arange(nb), B)
             self.state.store = _uncer_core(
                 self.mapper.uncer_params, self.state.store,
-                jnp.asarray(self.state.dino_feats[:nb]), jnp.asarray(idx))
+                jax.lax.dynamic_slice_in_dim(c["dev"], 0, nb),
+                jnp.asarray(idx))
 
         self.uncertainty_update = uncertainty_update
         self.backend = Backend(self.state, droid_params, cfg,
