@@ -123,11 +123,15 @@ class SLAM:
             in_dim=cfg["mapping"]["uncertainty_params"]["feature_dim"])
         train_frac = cfg["mapping"]["uncertainty_params"]["train_frac_fix"]
 
-        @jax.jit
-        def _uncer_core(uncer_params, store, feats, idx):
+        from functools import partial as _partial
+
+        @_partial(jax.jit, static_argnames=("nb",))
+        def _uncer_core(uncer_params, store, feats_full, idx, nb):
+            # slice inside the jit: an eager dynamic_slice on the 500MB
+            # feature mirror is a separate tunnel op per call
             return kstore.update_uncertainties(
-                store, lambda f: mlp.apply(uncer_params, f), feats, idx,
-                train_frac)
+                store, lambda f: mlp.apply(uncer_params, f), feats_full[:nb],
+                idx, train_frac)
 
         # incremental device mirror of the (append-mostly) DINO features:
         # re-uploading dino_feats[:nb] before EVERY BA cost ~48 MB of H2D
@@ -158,9 +162,8 @@ class SLAM:
             c["gen"], c["n"] = self.state.host_gen, n
             idx = np.where(np.arange(nb) < n, np.arange(nb), B)
             self.state.store = _uncer_core(
-                self.mapper.uncer_params, self.state.store,
-                jax.lax.dynamic_slice_in_dim(c["dev"], 0, nb),
-                jnp.asarray(idx))
+                self.mapper.uncer_params, self.state.store, c["dev"],
+                jnp.asarray(idx), nb=nb)
 
         self.uncertainty_update = uncertainty_update
         self.backend = Backend(self.state, droid_params, cfg,
