@@ -159,6 +159,14 @@ def test_non_metric_depth_branch(cfg):
     assert 2 not in mapper.video_idxs
     assert int(gm.num_alive(mapper.gaussians)) == n_before
 
+    # refine wrapper (jitted _refine_prep) with uncertainty features
+    c["mapping"]["Training"]["pose_refine_iters"] = 5
+    feats = np.random.RandomState(3).rand(HT // 14, WD // 14,
+                                          384).astype(np.float32)
+    w2c = mapper.refine_pose_non_key_frame(
+        textured_wall(0), np.asarray(state.store.poses[0]), features=feats)
+    assert np.all(np.isfinite(np.asarray(w2c)))
+
 
 def test_refine_pose_non_key_frame():
     """Pose refinement against a known map recovers a perturbed pose

@@ -856,18 +856,17 @@ class Mapper:
     def refine_pose_non_key_frame(self, color, w2c_init, features=None):
         """Refine a non-keyframe pose against the current map
         (mapper.py:810-917). color (H, W, 3); returns refined w2c (7,)."""
-        grad_mask = losses.compute_grad_mask(
-            jnp.asarray(color), self.mc["Training"]["edge_threshold"])
-        uncer_pix = None
-        if self.uncertainty_aware and features is not None:
-            sigma = UncertaintyMLP(
-                in_dim=self.mc["uncertainty_params"]["feature_dim"]).apply(
-                self.uncer_params, jnp.asarray(features))
-            sigma = jnp.clip(sigma, 0.1, None) + 1e-3
-            big = jax.image.resize(sigma, self.image_size, "bilinear")
-            data_rate = 1 + 1 * losses.compute_bias_factor(
-                self.mc["uncertainty_params"]["train_frac_fix"], 0.8)
-            uncer_pix = (big - 0.1) * data_rate + 0.1
+        # jitted prep: the Scharr mask + MLP + resize as eager ops cost
+        # ~45 ms/op over the tunnel (CLAUDE.md), and this runs per frame
+        grad_mask, uncer_pix = _refine_prep(
+            jnp.asarray(np.ascontiguousarray(color, np.float32)),
+            None if features is None or not self.uncertainty_aware
+            else jnp.asarray(features),
+            self.uncer_params, self.mc["Training"]["edge_threshold"],
+            self.mc["uncertainty_params"]["feature_dim"],
+            self.mc["uncertainty_params"]["train_frac_fix"], self.image_size)
+        if not (self.uncertainty_aware and features is not None):
+            uncer_pix = None
         return _refine_pose_core(
             self.gaussians.params, self.gaussians.aux.alive,
             jnp.asarray(w2c_init), jnp.asarray(color), grad_mask, uncer_pix,
@@ -965,6 +964,24 @@ class Mapper:
                         jnp.median(depth_new)))
                 self.depth_dict[video_idx] = depth_new
             self.cam_w2c_old[video_idx] = poses_host[video_idx]
+
+
+@partial(jax.jit, static_argnames=("edge_threshold", "feat_dim",
+                                   "train_frac", "image_size"))
+def _refine_prep(color, features, uncer_params, edge_threshold: float,
+                 feat_dim: int, train_frac: float, image_size):
+    """Per-frame refinement inputs (Scharr grad mask + pixel uncertainty,
+    mapper.py:836-850) in one dispatch. features=None traces the
+    no-uncertainty variant (uncer_pix output is a dummy)."""
+    grad_mask = losses.compute_grad_mask(color, edge_threshold)
+    if features is None:
+        return grad_mask, jnp.ones(image_size)
+    sigma = UncertaintyMLP(in_dim=feat_dim).apply(
+        uncer_params, features.astype(jnp.float32))
+    sigma = jnp.clip(sigma, 0.1, None) + 1e-3
+    big = jax.image.resize(sigma, image_size, "bilinear")
+    data_rate = 1 + 1 * losses.compute_bias_factor(train_frac, 0.8)
+    return grad_mask, (big - 0.1) * data_rate + 0.1
 
 
 @partial(jax.jit, static_argnames=("image_size", "capacity", "chunk",
