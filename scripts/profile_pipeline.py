@@ -99,6 +99,9 @@ def main():
     ap.add_argument("--init_iters", type=int, default=128)
     ap.add_argument("--final_refine", type=int, default=64)
     ap.add_argument("--capacity", type=int, default=131072)
+    ap.add_argument("--fast_mode", action="store_true",
+                    help="skip the per-frame render-based non-keyframe pose "
+                         "refinement in the final eval (reference fast_mode)")
     args = ap.parse_args()
 
     import jax
@@ -118,6 +121,8 @@ def main():
 
     cfg = load_config("configs/wildgs_slam.yaml")
     cfg["scene"] = "profile"
+    if args.fast_mode:
+        cfg["fast_mode"] = True
     cfg["dataset"] = "tumrgbd"
     cfg["data"]["input_folder"] = root
     cfg["data"]["output"] = os.path.join(args.out, "out")

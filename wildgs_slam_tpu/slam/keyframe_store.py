@@ -212,7 +212,12 @@ def update_valid_depth_mask(store: KeyframeStore, n_frames: int,
         frames = np.asarray(frames, np.int64)
         if len(frames) == 0:
             return store
-    nb = min(F, -(-len(frames) // 8) * 8)
+    # coarse bucket ladder: 8-step buckets compiled a fresh (minutes-long
+    # remote) program every 8 keyframes on long scenes
+    nb = 8
+    while nb < len(frames):
+        nb *= 2
+    nb = min(F, nb)
     idx = np.concatenate([frames[:nb], np.full(nb - min(len(frames), nb), F,
                                                np.int64)])
     return _update_valid_depth_mask_core(

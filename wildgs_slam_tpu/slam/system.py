@@ -148,7 +148,10 @@ class SLAM:
                 return
             n = self.state.counter
             B = self.state.dino_feats.shape[0]
-            nb = min(B, -(-n // 8) * 8)
+            nb = 8
+            while nb < n:
+                nb *= 2   # coarse ladder: one compile per doubling
+            nb = min(B, nb)
             c = self._dino_cache
             if c["dev"] is None:
                 c["dev"] = jnp.zeros(self.state.dino_feats.shape, jnp.float32)
