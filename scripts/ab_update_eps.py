@@ -26,10 +26,15 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+from wildgs_slam_tpu.utils.jax_setup import host_fingerprint  # noqa: E402
+
+# host-ISA-keyed like conftest/setup_compile_cache: foreign XLA:CPU AOT
+# entries are a SIGILL hazard when the container migrates between hosts
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache_cpu_ab"))
+                 f".jax_cache_cpu_{host_fingerprint()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np

@@ -713,7 +713,7 @@ class FactorGraph:
             (self.pmax,) + self.state.store.disps_up.shape[-2:], "bilinear")
         self.state.store = self.state.store._replace(
             disps_up=self.state.store.disps_up.at[frames].set(up))
-        self.age += n
+        self.age += n_done
         return jnp.int32(n_done), jnp.float32(0.0)
 
     def _update_n_sharded(self, n, t0, t1, itrs, use_inactive, motion_only):

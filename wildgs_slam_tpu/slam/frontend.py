@@ -199,6 +199,9 @@ class Frontend:
         self._prep_next_slot_init()
         self.is_initialized = True
         self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
+        # the 8 updates moved every frame: full-range mask refresh
+        # (reference set_dirty(0, t1), frontend.py:157)
+        self._update_depth_masks()
 
     def __call__(self, force_to_add_keyframe=False):
         if not self.is_initialized and self.state.counter == self.warmup:

@@ -356,6 +356,15 @@ class SLAM:
             # consuming with minimal tracking improvement")
             with TIMER.phase("final.nonkf_pose_refine"):
                 poses_w2c = self._refine_full_traj(poses_w2c, stride)
+        # keyframe poses are authoritative, refined or not
+        # (eval_traj.py:161-164 — the overwrite is OUTSIDE the fast_mode
+        # gate in the reference)
+        poses_w2c = np.array(poses_w2c, copy=True)
+        n = self.state.counter
+        ts = np.asarray(self.state.store.timestamp[:n]).astype(int)
+        pos = ts // stride
+        ok = (ts % stride == 0) & (pos < len(poses_w2c))
+        poses_w2c[pos[ok]] = np.asarray(self.state.store.poses[:n])[ok]
         est_c2w = np.asarray(lie.se3_matrix(
             lie.se3_inv(jnp.asarray(poses_w2c))))
         ts = np.arange(len(est_c2w))
@@ -371,25 +380,27 @@ class SLAM:
         return stats
 
     def _refine_full_traj(self, poses_w2c, stride):
-        """Per-frame MonoGS-style pose refinement against the final map,
-        then overwrite keyframe poses with their authoritative tracking
-        estimates (eval_traj.py:151-164)."""
+        """Per-frame MonoGS-style pose refinement against the final map
+        (eval_traj.py:151-159). Per-frame DINO features are reused from the
+        trajectory filler's pass over the same stream when available (the
+        reference's traj_filler returns dino_feats for exactly this,
+        eval_traj.py:144-155) — recomputing a real DINOv2 forward per frame
+        would double the terminate-phase prior cost."""
         poses = np.array(poses_w2c, copy=True)
         frames = list(range(0, len(self.stream), stride))[: len(poses)]
+        cached = getattr(self.traj_filler, "last_features", None)
         for k, i in enumerate(frames):
             _, image, _, _ = self.stream[i]
-            feats = (self.feat_fn(image)
-                     if self.uncertainty_aware and self.feat_fn is not None
-                     else None)
+            if not (self.uncertainty_aware and self.feat_fn is not None):
+                feats = None
+            elif cached is not None and k < len(cached) \
+                    and cached[k] is not None:
+                feats = cached[k]
+            else:
+                feats = self.feat_fn(image)
             w2c = self.mapper.refine_pose_non_key_frame(
                 image, poses[k], features=feats)
             poses[k] = np.asarray(w2c)
-        # keyframe poses are authoritative (eval_traj.py:161-164)
-        n = self.state.counter
-        ts = np.asarray(self.state.store.timestamp[:n]).astype(int)
-        pos = ts // stride
-        ok = (ts % stride == 0) & (pos < len(poses))
-        poses[pos[ok]] = np.asarray(self.state.store.poses[:n])[ok]
         return poses
 
     def terminate(self):

@@ -27,6 +27,10 @@ class PoseTrajectoryFiller:
         self.feat_fn = feat_fn
         self.uncer_apply = uncer_apply
         self.train_frac_fix = train_frac_fix
+        # per-frame DINO features of the last __call__, in stream order
+        # (reference traj_filler returns dino_feats so full_traj_eval's
+        # pose refinement reuses them, eval_traj.py:144-155)
+        self.last_features = None
 
     def _interpolate(self, timestamps):
         """Linear SE3 interpolation between bracketing keyframes
@@ -59,6 +63,8 @@ class PoseTrajectoryFiller:
         if N + M > B:
             # buffer full (every frame became a keyframe): no scratch slots
             # for motion-only BA — interpolation alone is exact there anyway
+            if self.last_features is not None:
+                self.last_features.extend([None] * M)  # keep frame alignment
             return np.asarray(Gs)
 
         # append temporarily with fnet features
@@ -72,8 +78,11 @@ class PoseTrajectoryFiller:
         state.counter = N + M
 
         if self.uncer_apply is not None and self.feat_fn is not None:
-            feats = jnp.stack([jnp.asarray(self.feat_fn(images[m]))
-                               for m in range(M)])
+            feats_np = [np.asarray(self.feat_fn(images[m]))
+                        for m in range(M)]
+            if self.last_features is not None:
+                self.last_features.extend(feats_np)
+            feats = jnp.asarray(np.stack(feats_np))
             state.store = kstore.update_uncertainties(
                 state.store, self.uncer_apply, feats,
                 jnp.arange(N, N + M), self.train_frac_fix)
@@ -92,6 +101,8 @@ class PoseTrajectoryFiller:
 
     def __call__(self, image_stream, stride=1, batch=16):
         """Returns (M, 7) w2c poses for every frame of the stream."""
+        self.last_features = ([] if (self.uncer_apply is not None
+                                     and self.feat_fn is not None) else None)
         spare = self.state.store.poses.shape[0] - self.state.counter
         if spare >= 1:
             batch = min(batch, spare)

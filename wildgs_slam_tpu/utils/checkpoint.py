@@ -151,6 +151,9 @@ def load_slam_checkpoint(path: str, slam) -> Dict[str, Any]:
     if state.dino_feats is not None and "dino_feats" in arrays:
         state.dino_feats[:] = arrays["dino_feats"]
     state.timestamps[:] = arrays["timestamps"]
+    # device-side mirrors (system.py dino cache) must refresh from the
+    # reloaded host arrays
+    state.host_gen += 1
 
     state.counter = meta["counter"]
     mapper.iteration_count = meta["iteration_count"]
@@ -192,8 +195,13 @@ def load_slam_checkpoint(path: str, slam) -> Dict[str, Any]:
     if mf is not None:
         mf.count = meta.get("motion_filter_count", 0)
         if state.counter > 0:
+            from ..models import droid_net
+
+            # match the live-path dtype (bf16 on TPU): f32 here would
+            # re-trace _fused_step into a permanently slower f32 variant
+            dt = droid_net.net_dtype()
             idx = state.counter - 1
-            mf.fmap = state.store.fmaps[idx].astype(jnp.float32)
-            mf.net = state.store.nets[idx].astype(jnp.float32)
-            mf.inp = state.store.inps[idx].astype(jnp.float32)
+            mf.fmap = state.store.fmaps[idx].astype(dt)
+            mf.net = state.store.nets[idx].astype(dt)
+            mf.inp = state.store.inps[idx].astype(dt)
     return meta.get("loop_state", {})

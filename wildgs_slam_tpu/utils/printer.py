@@ -54,8 +54,8 @@ class Printer:
         self._t0 = time.time()
 
     def print(self, msg, color=FontColor.INFO):
-        if not self.verbose:
-            return
+        if not self.verbose and color is not FontColor.ERROR:
+            return  # errors/warnings always surface (plain print() did)
         tag = FontColor._TAGS.get(color, "[INFO   ]")
         if self.use_color:
             print(f"{color}{tag}{FontColor._RESET} {msg}", flush=True)
